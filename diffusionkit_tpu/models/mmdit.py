@@ -1,0 +1,458 @@
+"""Multi-modal Diffusion Transformer (MMDiT), TPU-first functional design.
+
+Behavioural spec: reference python/src/diffusionkit/mlx/mmdit.py:22-988
+(MMDiT as in https://arxiv.org/abs/2403.03206 plus the FLUX single-stream
+blocks). Re-designed for XLA rather than translated:
+
+- Parameters are a plain pytree; per-depth block parameters are STACKED along
+  a leading axis and the block loop is a ``lax.scan`` — one compiled block
+  body regardless of depth (38 unified blocks in FLUX), which keeps compile
+  times flat and gives GSPMD a single sharding decision per weight.
+- AdaLN modulation is computed inline each step (a 6*hidden GEMV — trivial on
+  the MXU), replacing the reference's modulation pre-compute/weight-offload
+  machinery (reference mmdit.py:77-186), which exists only to fit Metal
+  memory.
+- The joint attention runs through ops.attention.sdpa (Pallas flash kernel on
+  TPU for long sequences).
+
+Sequence-order parity notes (easy to get wrong, reference mmdit.py:594-657):
+SD3 (depth_unified == 0) concatenates [image, text] for joint SDPA; FLUX
+concatenates [text, image] in both block families, and RoPE positions place
+text first.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MMDiTConfig, PositionalEncoding
+from ..ops.attention import sdpa
+from ..ops.common import (
+    ffn_gelu,
+    linear,
+    mlp_silu,
+    patchify,
+    timestep_embedding,
+    unpack_flux,
+    unpatchify_sd3,
+)
+from ..ops.norms import modulated_layer_norm, rms_norm
+from ..ops.rope import apply_rope, rope_frequencies
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Pytree utilities for stacked (scanned) block parameters
+# ---------------------------------------------------------------------------
+
+
+def tree_stack(trees: List[Params]) -> Params:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def tree_slice(tree: Params, start: int, end: int) -> Params:
+    return jax.tree.map(lambda a: a[start:end], tree)
+
+
+def tree_index(tree: Params, i: int) -> Params:
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def _segments(n: int, upcast: Tuple[int, ...]) -> List[Tuple[int, int, bool]]:
+    """Split [0, n) into maximal runs of same-precision blocks."""
+    out: List[Tuple[int, int, bool]] = []
+    start = 0
+    for i in range(n):
+        if i in upcast:
+            if start < i:
+                out.append((start, i, False))
+            out.append((i, i + 1, True))
+            start = i + 1
+    if start < n:
+        out.append((start, n, False))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Attention pieces
+# ---------------------------------------------------------------------------
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, h = x.shape
+    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, nh, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * d)
+
+
+def _qkv(block: Params, x: jnp.ndarray, config: MMDiTConfig):
+    """Project to per-head q, k, v; apply QK-RMSNorm when configured.
+
+    The key projection has no bias — redundant under softmax invariance
+    (reference mmdit.py:820-823).
+    """
+    q = _split_heads(linear(block["q"], x), config.num_heads)
+    k = _split_heads(linear(block["k"], x), config.num_heads)
+    v = _split_heads(linear(block["v"], x), config.num_heads)
+    if config.use_qk_norm:
+        q = rms_norm(q, block["qk_norm"]["q_scale"])
+        k = rms_norm(k, block["qk_norm"]["k_scale"])
+    return q, k, v
+
+
+def _mod(vectors: jnp.ndarray, n: int) -> List[jnp.ndarray]:
+    """Split (b, n*H) modulation output into n (b, 1, H) broadcastables."""
+    parts = jnp.split(vectors, n, axis=-1)
+    return [p[:, None, :] for p in parts]
+
+
+def _ada(block: Params, c: jnp.ndarray, n: int) -> List[jnp.ndarray]:
+    """adaLN_modulation: SiLU -> Linear -> split (reference mmdit.py:430-435)."""
+    return _mod(linear(block["ada"], jax.nn.silu(c)), n)
+
+
+# ---------------------------------------------------------------------------
+# Transformer blocks
+# ---------------------------------------------------------------------------
+
+
+def _mm_block(
+    bp: Params,
+    img: jnp.ndarray,
+    txt: jnp.ndarray,
+    c: jnp.ndarray,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    config: MMDiTConfig,
+    sdpa_impl: Optional[str],
+    final_skip_text: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-stream block with joint SDPA (reference mmdit.py:554-675).
+
+    When ``final_skip_text`` (last SD3 multimodal block), the text branch has
+    only 2 modulation params and no o_proj/MLP — text tokens still contribute
+    keys/values but produce no output (reference mmdit.py:62-66,415-427,665-667).
+    """
+    eps = config.layer_norm_eps
+    img_mods = _ada(bp["img"], c, 6)
+    txt_mods = _ada(bp["txt"], c, 2 if final_skip_text else 6)
+
+    img_h = modulated_layer_norm(img, img_mods[0], img_mods[1], eps)
+    txt_h = modulated_layer_norm(txt, txt_mods[0], txt_mods[1], eps)
+
+    q_i, k_i, v_i = _qkv(bp["img"], img_h, config)
+    q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
+
+    img_len = img.shape[1]
+    txt_len = txt.shape[1]
+    if config.depth_unified > 0:
+        # FLUX order: text first (reference mmdit.py:594-606).
+        q = jnp.concatenate([q_t, q_i], axis=2)
+        k = jnp.concatenate([k_t, k_i], axis=2)
+        v = jnp.concatenate([v_t, v_i], axis=2)
+    else:
+        # SD3 order: image first (reference mmdit.py:607-625).
+        q = jnp.concatenate([q_i, q_t], axis=2)
+        k = jnp.concatenate([k_i, k_t], axis=2)
+        v = jnp.concatenate([v_i, v_t], axis=2)
+
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl)
+    o = _merge_heads(o)
+
+    if config.depth_unified > 0:
+        o_txt, o_img = o[:, :txt_len], o[:, txt_len:]
+    else:
+        o_img, o_txt = o[:, :img_len], o[:, img_len:]
+
+    img = img + img_mods[2] * linear(bp["img"]["o"], o_img)
+    img = img + img_mods[5] * ffn_gelu(
+        bp["img"], modulated_layer_norm(img, img_mods[3], img_mods[4], eps)
+    )
+
+    if final_skip_text:
+        return img, txt
+    txt = txt + txt_mods[2] * linear(bp["txt"]["o"], o_txt)
+    txt = txt + txt_mods[5] * ffn_gelu(
+        bp["txt"], modulated_layer_norm(txt, txt_mods[3], txt_mods[4], eps)
+    )
+    return img, txt
+
+
+def _unified_block(
+    bp: Params,
+    x: jnp.ndarray,
+    c: jnp.ndarray,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    config: MMDiTConfig,
+    sdpa_impl: Optional[str],
+) -> jnp.ndarray:
+    """Single-stream block with parallel MLP (reference mmdit.py:678-751).
+
+    3 modulation params (shift, scale, gate); norm1/modulation shared between
+    attention and MLP; the checkpoint's shared o_proj/fc2 bias is resolved at
+    load time by zeroing fc2's bias (reference mmdit.py:741-742).
+    """
+    eps = config.layer_norm_eps
+    n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
+    mods = _ada(bp, c, n_mod)
+    h = modulated_layer_norm(x, mods[0], mods[1], eps)
+    q, k, v = _qkv(bp, h, config)
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    o = _merge_heads(sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl))
+    if config.parallel_mlp_for_unified_blocks:
+        return x + mods[2] * (linear(bp["o"], o) + ffn_gelu(bp, h))
+    x = x + mods[2] * linear(bp["o"], o)
+    return x + mods[5] * ffn_gelu(
+        bp, modulated_layer_norm(x, mods[3], mods[4], eps)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+def apply_mmdit(
+    params: Params,
+    config: MMDiTConfig,
+    latent: jnp.ndarray,
+    token_level_text_embeddings: jnp.ndarray,
+    pooled_text_embeddings: jnp.ndarray,
+    timestep: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    sdpa_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """MMDiT forward (reference mmdit.py:188-266).
+
+    Args:
+      latent: (B, H_lat, W_lat, C) noisy latents, NHWC.
+      token_level_text_embeddings: (B, T, token_level_text_embed_dim).
+      pooled_text_embeddings: (B, pooled_text_embed_dim).
+      timestep: (B,) in sigma*1000 units.
+      guidance: (B,) distilled-guidance scale for FLUX.1-dev
+        (config.guidance_embed). Unlike the reference — whose dev loader never
+        engages guidance_embed (reference model_io.py:756, config.py:109) —
+        this path is functional.
+    Returns: (B, H_lat, W_lat, C) model output (velocity prediction).
+    """
+    b, lh, lw, _ = latent.shape
+    dtype = config.dtype
+    x = latent.astype(dtype)
+    p = config.patch_size
+
+    txt = linear(params["context_embedder"], token_level_text_embeddings.astype(dtype))
+
+    # Patchify + project. Both SD3's k=2/s=2 conv and FLUX's reshape-pack are
+    # expressed as space-to-depth + one matmul (the loader folds the conv
+    # kernel), which is the MXU-native form of reference mmdit.py:269-302.
+    x = linear(params["x_embedder"], patchify(x, p))
+
+    if config.pos_embed_type == PositionalEncoding.LearnedInputEmbedding:
+        # Center-cropped learned table (reference mmdit.py:324-349).
+        h, w = lh // p, lw // p
+        maxhw = config.max_latent_resolution
+        y0 = (maxhw - h) // 2
+        x0 = (maxhw - w) // 2
+        pos = params["pos_embed"].reshape(maxhw, maxhw, config.hidden_size)
+        x = x + pos[y0 : y0 + h, x0 : x0 + w].reshape(1, h * w, -1).astype(dtype)
+        rope = None
+    else:
+        cos, sin = rope_frequencies(
+            (lh // p, lw // p),
+            txt.shape[1],
+            config.rope_axes_dim,
+            theta=10000,
+        )
+        rope = (cos, sin)
+
+    # Modulation input c = y_embed + t_embed (+ guidance embed for FLUX-dev)
+    # (reference mmdit.py:94-96,219-220; FLUX-dev per black-forest-labs spec).
+    t_emb = mlp_silu(
+        params["t_embedder"],
+        timestep_embedding(timestep, config.frequency_embed_dim, config.max_period).astype(dtype),
+    )
+    y_emb = mlp_silu(params["y_embedder"], pooled_text_embeddings.astype(dtype))
+    c = t_emb + y_emb
+    if config.guidance_embed:
+        if guidance is None:
+            guidance = jnp.full((b,), 3.5, dtype=jnp.float32)
+        c = c + mlp_silu(
+            params["guidance_embedder"],
+            timestep_embedding(guidance, config.frequency_embed_dim, config.max_period).astype(dtype),
+        )
+
+    # Multimodal (dual-stream) blocks.
+    n_uniform = config.depth_multimodal - (1 if config.depth_unified == 0 else 0)
+
+    def mm_body(carry, bp):
+        img, txt_ = carry
+        img, txt_ = _mm_block(bp, img, txt_, c, rope, config, sdpa_impl)
+        return (img, txt_), None
+
+    for start, end, upcast in _segments(n_uniform, tuple(config.upcast_multimodal_blocks)):
+        seg = tree_slice(params["mm_blocks"], start, end)
+        if upcast:
+            # fp32 block (reference config.py:37, SD3.5-large block 35).
+            seg32 = jax.tree.map(lambda a: a.astype(jnp.float32), seg)
+            for i in range(end - start):
+                (ximg, xtxt), _ = mm_body(
+                    (x.astype(jnp.float32), txt.astype(jnp.float32)),
+                    tree_index(seg32, i),
+                )
+                x, txt = ximg.astype(dtype), xtxt.astype(dtype)
+        else:
+            (x, txt), _ = jax.lax.scan(mm_body, (x, txt), seg)
+
+    if config.depth_unified == 0:
+        # Final SD3 multimodal block: text branch is K/V-only.
+        x, _ = _mm_block(
+            params["mm_final"], x, txt, c, rope, config, sdpa_impl,
+            final_skip_text=True,
+        )
+    else:
+        # FLUX: concat [text, image] once, run single-stream stack
+        # (reference mmdit.py:233-247).
+        u = jnp.concatenate([txt, x], axis=1)
+
+        def uni_body(carry, bp):
+            return _unified_block(bp, carry, c, rope, config, sdpa_impl), None
+
+        for start, end, upcast in _segments(
+            config.depth_unified, tuple(config.upcast_unified_blocks)
+        ):
+            seg = tree_slice(params["uni_blocks"], start, end)
+            if upcast:
+                seg32 = jax.tree.map(lambda a: a.astype(jnp.float32), seg)
+                for i in range(end - start):
+                    u32, _ = uni_body(u.astype(jnp.float32), tree_index(seg32, i))
+                    u = u32.astype(dtype)
+            else:
+                u, _ = jax.lax.scan(uni_body, u, seg)
+        x = u[:, txt.shape[1] :]
+
+    # Final layer: 2-param AdaLN + linear (reference mmdit.py:767-796).
+    shift, scale = _ada(params["final_layer"], c, 2)
+    x = modulated_layer_norm(x, shift, scale, config.layer_norm_eps)
+    x = linear(params["final_layer"]["linear"], x)
+
+    if config.patchify_via_reshape:
+        return unpack_flux(x, (lh, lw), p)
+    return unpatchify_sd3(x, (lh, lw), p, config.vae_latent_dim)
+
+
+# ---------------------------------------------------------------------------
+# Random initialisation (tests / benchmarks without checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, dtype, bias=True, scale=0.02):
+    kk, _ = jax.random.split(key)
+    p = {"kernel": (jax.random.normal(kk, (d_in, d_out), jnp.float32) * scale).astype(dtype)}
+    p["bias"] = jnp.zeros((d_out,), dtype) if bias else None
+    return p
+
+
+def _init_block(key, config: MMDiTConfig, num_mod: int, with_mlp: bool = True) -> Params:
+    H = config.hidden_size
+    keys = jax.random.split(key, 8)
+    dtype = config.dtype
+    p: Params = {
+        "q": _init_linear(keys[0], H, H, dtype),
+        "k": _init_linear(keys[1], H, H, dtype, bias=False),
+        "v": _init_linear(keys[2], H, H, dtype),
+        "ada": _init_linear(keys[3], H, num_mod * H, dtype),
+    }
+    if with_mlp:
+        p["o"] = _init_linear(keys[4], H, H, dtype)
+        p["fc1"] = _init_linear(keys[5], H, H * config.mlp_ratio, dtype)
+        p["fc2"] = _init_linear(keys[6], H * config.mlp_ratio, H, dtype)
+    if config.use_qk_norm:
+        p["qk_norm"] = {
+            "q_scale": jnp.ones((config.head_dim,), dtype),
+            "k_scale": jnp.ones((config.head_dim,), dtype),
+        }
+    return p
+
+
+def init_mmdit_params(key: jax.Array, config: MMDiTConfig) -> Params:
+    """Random parameters with checkpoint-compatible shapes."""
+    H = config.hidden_size
+    dtype = config.dtype
+    keys = iter(jax.random.split(key, 16))
+    patch_in = config.vae_latent_dim * config.patch_size**2
+
+    params: Params = {
+        "x_embedder": _init_linear(next(keys), patch_in, H, dtype),
+        "context_embedder": _init_linear(
+            next(keys), config.token_level_text_embed_dim, H, dtype
+        ),
+        "y_embedder": {
+            "fc1": _init_linear(next(keys), config.pooled_text_embed_dim, H, dtype),
+            "fc2": _init_linear(next(keys), H, H, dtype),
+        },
+        "t_embedder": {
+            "fc1": _init_linear(next(keys), config.frequency_embed_dim, H, dtype),
+            "fc2": _init_linear(next(keys), H, H, dtype),
+        },
+        "final_layer": {
+            "ada": _init_linear(next(keys), H, 2 * H, dtype),
+            "linear": _init_linear(
+                next(keys), H, config.patch_size**2 * config.vae_latent_dim, dtype
+            ),
+        },
+    }
+    if config.guidance_embed:
+        params["guidance_embedder"] = {
+            "fc1": _init_linear(next(keys), config.frequency_embed_dim, H, dtype),
+            "fc2": _init_linear(next(keys), H, H, dtype),
+        }
+    if config.pos_embed_type == PositionalEncoding.LearnedInputEmbedding:
+        params["pos_embed"] = (
+            jax.random.normal(
+                next(keys),
+                (1, config.max_latent_resolution, config.max_latent_resolution, H),
+                jnp.float32,
+            )
+            * 0.02
+        ).astype(dtype)
+
+    n_uniform = config.depth_multimodal - (1 if config.depth_unified == 0 else 0)
+    mm_key = next(keys)
+    blocks = []
+    for i in range(n_uniform):
+        k1, k2, mm_key = jax.random.split(mm_key, 3)
+        blocks.append(
+            {"img": _init_block(k1, config, 6), "txt": _init_block(k2, config, 6)}
+        )
+    params["mm_blocks"] = tree_stack(blocks)
+
+    if config.depth_unified == 0:
+        k1, k2 = jax.random.split(next(keys))
+        params["mm_final"] = {
+            "img": _init_block(k1, config, 6),
+            "txt": _init_block(k2, config, 2, with_mlp=False),
+        }
+    else:
+        uni_key = next(keys)
+        ublocks = []
+        n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
+        for i in range(config.depth_unified):
+            k1, uni_key = jax.random.split(uni_key)
+            ublocks.append(_init_block(k1, config, n_mod))
+        params["uni_blocks"] = tree_stack(ublocks)
+
+    return params

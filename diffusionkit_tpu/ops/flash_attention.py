@@ -1,0 +1,146 @@
+"""Pallas TPU flash attention for the MMDiT joint text+image sequence.
+
+TPU-native replacement for ``mx.fast.scaled_dot_product_attention`` and its
+memory-efficient threshold path (reference mmdit.py:19,562,636-639,687,729-732).
+Non-causal full attention with online softmax: the (S, S) score matrix is
+never materialised in HBM; each q tile streams kv tiles through VMEM and
+keeps fp32 running (max, denominator, accumulator) scratch.
+
+The joint sequence length (image tokens + text tokens, e.g. 4096 + 154 for
+SD3 at 1024x1024) is rarely a multiple of the kv tile, so inputs are padded to
+the tile grid and padded keys are masked with a large negative score; padded
+query rows are sliced off by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    vlen_ref,  # SMEM (1,) int32: number of valid kv positions
+    q_ref,  # VMEM (1, q_blk, d)
+    k_ref,  # VMEM (1, kv_blk, d)
+    v_ref,  # VMEM (1, kv_blk, d)
+    o_ref,  # VMEM (1, q_blk, d)
+    m_ref,  # VMEM (q_blk, 128) fp32 scratch — running max (broadcast on lanes)
+    l_ref,  # VMEM (q_blk, 128) fp32 scratch — running denominator
+    acc_ref,  # VMEM (q_blk, d) fp32 scratch — running numerator
+    *,
+    scale: float,
+    kv_blk: int,
+):
+    ki = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+
+    # Mask padded kv positions (only the trailing tiles are ever partial).
+    col = ki * kv_blk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < vlen_ref[0], s, NEG_INF)
+
+    m_prev = m_ref[:, 0:1]
+    l_prev = l_ref[:, 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[:, 0:1]).astype(o_ref.dtype)
+
+
+def _pad_seq(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    s = x.shape[-2]
+    pad = (-s) % multiple
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "q_blk", "kv_blk", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    q_blk: int = 256,
+    kv_blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full (non-causal) attention over (B, H, S, D) inputs.
+
+    Returns (B, H, S, D) in the input dtype. fp32 softmax statistics and
+    accumulation; QK^T and PV ride the MXU in the input precision.
+    """
+    b, h, s, d = q.shape
+    orig_s = s
+    q = _pad_seq(q.reshape(b * h, s, d), q_blk)
+    k = _pad_seq(k.reshape(b * h, s, d), kv_blk)
+    v = _pad_seq(v.reshape(b * h, s, d), kv_blk)
+    sq = q.shape[-2]
+    sk = k.shape[-2]
+
+    grid = (b * h, sq // q_blk, sk // kv_blk)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_blk=kv_blk)
+    vlen = jnp.array([orig_s], dtype=jnp.int32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            # Index maps receive the scalar-prefetch ref as trailing arg.
+            in_specs=[
+                pl.BlockSpec((1, q_blk, d), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+                pl.BlockSpec((1, kv_blk, d), lambda bh, qi, ki, vlen: (bh, ki, 0)),
+                pl.BlockSpec((1, kv_blk, d), lambda bh, qi, ki, vlen: (bh, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, q_blk, d), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(vlen, q, k, v)
+
+    return out[:, :orig_s, :].reshape(b, h, orig_s, d)

@@ -1,0 +1,86 @@
+"""Logging, memory statistics, and image metrics.
+
+Replaces the reference's ``argmaxtools.utils.get_logger`` and
+``mx.metal.get_peak_memory``-based accounting (reference
+python/src/diffusionkit/mlx/__init__.py:318-533, utils.py:11-83) with
+JAX/TPU-native equivalents.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+_LOGGERS: Dict[str, logging.Logger] = {}
+
+
+def get_logger(name: str) -> logging.Logger:
+    if name in _LOGGERS:
+        return _LOGGERS[name]
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler(sys.stderr)
+        handler.setFormatter(
+            logging.Formatter("%(levelname)s:%(asctime)s:%(name)s: %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(os.environ.get("DIFFUSIONKIT_TPU_LOGLEVEL", "INFO"))
+        logger.propagate = False
+    _LOGGERS[name] = logger
+    return logger
+
+
+def bytes2gigabytes(n: int) -> float:
+    """Unit conversion (reference utils.py:11-13)."""
+    return n / (1024**3)
+
+
+def device_memory_stats(device=None) -> Dict[str, Optional[float]]:
+    """HBM statistics for one device, in bytes.
+
+    TPU equivalent of ``mx.metal.get_peak_memory``/``get_active_memory``
+    (reference mlx/__init__.py:322-326). XLA exposes no per-section peak
+    reset, so callers record high-water marks per phase instead.
+    Returns ``{"peak_memory": None, "active_memory": None}`` on backends
+    without memory stats (e.g. CPU).
+    """
+    import jax
+
+    device = device or jax.local_devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    if not stats:
+        return {"peak_memory": None, "active_memory": None}
+    return {
+        "peak_memory": stats.get("peak_bytes_in_use"),
+        "active_memory": stats.get("bytes_in_use"),
+    }
+
+
+def memory_snapshot_gb(device=None) -> Dict[str, Optional[float]]:
+    stats = device_memory_stats(device)
+    return {
+        k: (round(bytes2gigabytes(v), 3) if v is not None else None)
+        for k, v in stats.items()
+    }
+
+
+def compute_psnr(reference: np.ndarray, proxy: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (reference utils.py:66-83)."""
+    reference = np.asarray(reference, dtype=np.float64).squeeze()
+    proxy = np.asarray(proxy, dtype=np.float64).squeeze()
+    assert reference.shape == proxy.shape, (reference.shape, proxy.shape)
+    peak = np.abs(reference).max()
+    noise = reference - proxy
+    noise_power = np.power(noise, 2).mean()
+    if noise_power == 0:
+        return float("inf")
+    return float(20 * np.log10(peak / np.sqrt(noise_power)))
+
+
+def image_psnr(reference, image) -> float:
+    """PSNR between two images (PIL Images or arrays) (reference utils.py:52-63)."""
+    return compute_psnr(np.asarray(reference), np.asarray(image))
