@@ -262,9 +262,11 @@ def apply_mmdit(
     x = linear(params["x_embedder"], patchify(x, p))
 
     if config.pos_embed_type == PositionalEncoding.LearnedInputEmbedding:
-        # Center-cropped learned table (reference mmdit.py:324-349).
+        # Center-cropped learned table (reference mmdit.py:324-349). The table
+        # resolution comes from the checkpoint (SD3-medium and SD3.5 ship
+        # different table sizes; cf. MAX_LATENT_RESOLUTION, model_io.py:118-127).
         h, w = lh // p, lw // p
-        maxhw = config.max_latent_resolution
+        maxhw = int(round(params["pos_embed"].shape[-2] ** 0.5))
         y0 = (maxhw - h) // 2
         x0 = (maxhw - w) // 2
         pos = params["pos_embed"].reshape(maxhw, maxhw, config.hidden_size)
@@ -424,7 +426,7 @@ def init_mmdit_params(key: jax.Array, config: MMDiTConfig) -> Params:
         params["pos_embed"] = (
             jax.random.normal(
                 next(keys),
-                (1, config.max_latent_resolution, config.max_latent_resolution, H),
+                (config.max_latent_resolution**2, H),
                 jnp.float32,
             )
             * 0.02

@@ -17,7 +17,15 @@ Params = Dict[str, Any]
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ kernel (+ bias). Accumulates in fp32 on the MXU."""
+    """y = x @ kernel (+ bias). Accumulates in fp32 on the MXU.
+
+    Transparently handles weight-only-quantized params (see ops/quantized.py)
+    so every model works unchanged with int4/int8 checkpoints.
+    """
+    if "kernel" not in params:
+        from .quantized import quantized_linear
+
+        return quantized_linear(params, x)
     y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     if params.get("bias") is not None:
         y = y + params["bias"].astype(jnp.float32)

@@ -2,10 +2,10 @@
 
 TPU-native equivalents of the reference's fused Metal kernels:
 ``mx.fast.layer_norm`` (reference mmdit.py:849,958-972) and
-``mlx.nn.RMSNorm``/``GroupNorm``. On TPU these reduce+scale patterns fuse into
-neighbouring HLO under XLA, so they are expressed directly in jnp with fp32
-statistics; a Pallas fused AdaLN-LayerNorm exists in ops/fused_adaln.py for
-the hot path.
+``mlx.nn.RMSNorm``/``GroupNorm``. On TPU these reduce+scale patterns fuse
+into neighbouring HLO under XLA, so they are expressed directly in jnp with
+fp32 statistics; profile before hand-writing a Pallas AdaLN kernel here
+(SURVEY.md §7 step 6: "measure first").
 """
 
 from __future__ import annotations

@@ -1,0 +1,8 @@
+from .mesh import create_mesh, local_mesh  # noqa: F401
+from .sharding import (  # noqa: F401
+    data_sharding,
+    mmdit_shardings,
+    replicate,
+    shard_params,
+    t5_shardings,
+)

@@ -1,0 +1,75 @@
+"""GSPMD parameter shardings: Megatron-style tensor parallelism for MMDiT/T5.
+
+New capability over the reference (which has no parallelism, SURVEY.md §2).
+The sharding plan follows the standard two-matmul pattern: fan-out
+projections (q/k/v, fc1, wi_*) are column-sharded over the ``model`` axis so
+attention heads and MLP hidden units split across chips; fan-in projections
+(o, fc2, wo) are row-sharded so their matmul produces partial sums that XLA
+reduces with one psum per block over ICI. Everything small (modulation,
+embedders, norms, final layer) is replicated. Activations stay sharded
+head-wise through attention — including the Pallas flash kernel, which runs
+per-shard under shard_map-free GSPMD because its batch*heads grid axis is
+already partitioned.
+
+Shardings are assigned by pytree path rules, so they apply uniformly to the
+stacked (scanned) block parameters: a stacked kernel (L, in, out) gets the
+same (None, ..., 'model') spec as an unstacked one via negative-axis
+placement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Dict[str, Any]
+
+# Fan-out projections: shard the OUTPUT (last) axis of the kernel and the bias.
+_COL_PARENTS = {"q", "k", "v", "fc1", "query_proj", "key_proj", "value_proj", "wi_0", "wi_1"}
+# Fan-in projections: shard the INPUT (second-to-last) axis; bias replicated.
+_ROW_PARENTS = {"o", "fc2", "out_proj", "wo"}
+
+
+def _spec_for(path, leaf, axis: str) -> P:
+    names = [p.key for p in path if hasattr(p, "key")]
+    parent = names[-2] if len(names) >= 2 else None
+    name = names[-1] if names else None
+    if parent in _COL_PARENTS:
+        if name == "kernel":
+            return P(*([None] * (leaf.ndim - 1) + [axis]))
+        if name == "bias":
+            return P(*([None] * (leaf.ndim - 1) + [axis]))
+    if parent in _ROW_PARENTS and name == "kernel":
+        return P(*([None] * (leaf.ndim - 2) + [axis, None]))
+    return P()
+
+
+def mmdit_shardings(params: Params, mesh: Mesh, axis: str = "model") -> Params:
+    """NamedSharding pytree for MMDiT parameters (tensor parallel)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis)), params
+    )
+
+
+def t5_shardings(params: Params, mesh: Mesh, axis: str = "model") -> Params:
+    """Same column/row rules cover T5's projection names."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis)), params
+    )
+
+
+def replicate(params: Params, mesh: Mesh) -> Params:
+    """Fully-replicated shardings (CLIP, VAE — small models)."""
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Batch-axis sharding for activations: (batch, ...) split over data."""
+    return NamedSharding(mesh, P(*([axis] + [None] * (ndim - 1))))
+
+
+def shard_params(params: Params, shardings: Params) -> Params:
+    """Place a parameter pytree onto the mesh per the sharding pytree."""
+    return jax.device_put(params, shardings)

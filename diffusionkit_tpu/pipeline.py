@@ -1,0 +1,645 @@
+"""Diffusion pipelines: orchestration of text encoding, denoising, decoding.
+
+Behavioural spec: reference python/src/diffusionkit/mlx/__init__.py:64-788
+(DiffusionPipeline, FluxPipeline, CFGDenoiser, sample_euler, LatentFormat).
+TPU-first re-design:
+
+- The CFG denoiser + Euler step is ONE jitted function; the Python loop only
+  dispatches steps and harvests per-iteration times (the observability
+  contract of reference mlx/__init__.py:774-784). The latent buffer is
+  donated through the step so XLA updates it in place.
+- The reference's modulation-parameter pre-compute/offload machinery
+  (reference mmdit.py:77-186, §2.10) is deliberately absent: AdaLN is a
+  trivial GEMV on the MXU and is computed inline every step.
+- Memory accounting uses HBM stats (utils.device_memory_stats) in the same
+  phase-structured log (text_encoding / denoising / decoding with pre/post
+  peak+active and wall times, reference mlx/__init__.py:318-533).
+- ``num_images`` batches generation data-parallel along the batch axis (a new
+  capability; the reference is strictly single-image).
+
+Seed parity with the reference: noise is drawn with numpy in NCHW and
+transposed to NHWC (reference mlx/__init__.py:553-557), so fixed-seed outputs
+are comparable pixel-wise across frameworks.
+"""
+
+from __future__ import annotations
+
+import gc
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import model_io
+from .config import (
+    CLIPTextModelConfig,
+    MMDiTConfig,
+    T5_XXL,
+    T5Config,
+    VAEDecoderConfig,
+    VAEEncoderConfig,
+)
+from .models import (
+    apply_clip,
+    apply_mmdit,
+    apply_t5_encoder,
+    apply_vae_decoder,
+    apply_vae_encoder,
+)
+from .sampler import FlowSchedule, FluxSampler, ModelSamplingDiscreteFlow
+from .tokenizer import tokenize_batch
+from .utils import bytes2gigabytes, device_memory_stats, get_logger
+
+logger = get_logger(__name__)
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Latent formats (reference mlx/__init__.py:722-747)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LatentFormat:
+    scale_factor: float = 1.0
+    shift_factor: float = 0.0
+
+    def process_in(self, latent):
+        return (latent - self.shift_factor) * self.scale_factor
+
+    def process_out(self, latent):
+        return (latent / self.scale_factor) + self.shift_factor
+
+
+SD3LatentFormat = partial(LatentFormat, 1.5305, 0.0609)
+FluxLatentFormat = partial(LatentFormat, 0.3611, 0.1159)
+
+
+# ---------------------------------------------------------------------------
+# Jitted compute steps
+# ---------------------------------------------------------------------------
+
+
+def _cfg_euler_step(
+    params: Params,
+    x: jnp.ndarray,
+    sigma: jnp.ndarray,
+    sigma_next: jnp.ndarray,
+    conditioning: jnp.ndarray,
+    pooled: jnp.ndarray,
+    cfg_weight: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+    config: MMDiTConfig,
+    cfg_on: bool,
+    sdpa_impl: Optional[str],
+) -> jnp.ndarray:
+    """One CFG + Euler step (reference mlx/__init__.py:691-719,775-782).
+
+    x: (N, H, W, C) current latents. With CFG the model batch is [pos*N, neg*N]
+    and conditioning rows follow the same order; the split order (text, neg)
+    matches reference mlx/__init__.py:717-719.
+    """
+    n = x.shape[0]
+    xin = jnp.concatenate([x, x], axis=0) if cfg_on else x
+    timestep = jnp.broadcast_to(sigma * 1000.0, (xin.shape[0],))
+    if guidance is not None:
+        guidance = jnp.broadcast_to(guidance, (xin.shape[0],))
+    out = apply_mmdit(
+        params,
+        config,
+        xin.astype(config.dtype),
+        conditioning,
+        pooled,
+        timestep,
+        guidance=guidance,
+        sdpa_impl=sdpa_impl,
+    ).astype(jnp.float32)
+    denoised = xin.astype(jnp.float32) - out * sigma
+    if cfg_on:
+        eps_text, eps_neg = denoised[:n], denoised[n:]
+        denoised = eps_neg + cfg_weight * (eps_text - eps_neg)
+    # Euler (Karras Alg. 2): d = (x - denoised)/sigma; x += d * dsigma.
+    d = (x - denoised) / sigma
+    return x + d * (sigma_next - sigma)
+
+
+_denoise_step = partial(
+    jax.jit,
+    static_argnames=("config", "cfg_on", "sdpa_impl"),
+    donate_argnums=(1,),
+)(_cfg_euler_step)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "cfg_on", "sdpa_impl"),
+    donate_argnums=(1,),
+)
+def _denoise_scan(
+    params: Params,
+    x: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    conditioning: jnp.ndarray,
+    pooled: jnp.ndarray,
+    cfg_weight: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+    config: MMDiTConfig,
+    cfg_on: bool,
+    sdpa_impl: Optional[str],
+) -> jnp.ndarray:
+    """Whole denoise loop as one ``lax.scan`` — a single XLA program for all
+    steps with zero host round-trips; the TPU-native form of the reference's
+    ``sample_euler`` Python loop (SURVEY.md §3.4 "TPU translation")."""
+
+    def body(x, sig):
+        sigma, sigma_next = sig
+        x = _cfg_euler_step(
+            params, x, sigma, sigma_next, conditioning, pooled,
+            cfg_weight, guidance, config, cfg_on, sdpa_impl,
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sigmas[:-1], sigmas[1:]))
+    return x
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _decode_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
+    x = apply_vae_decoder(params, latents, config)
+    return jnp.clip(x / 2 + 0.5, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _encode_step(params: Params, image: jnp.ndarray, noise: jnp.ndarray, config: VAEEncoderConfig):
+    hidden = apply_vae_encoder(params, image, config)
+    mean, logvar = jnp.split(hidden, 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    return mean + jnp.exp(0.5 * logvar) * noise
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class DiffusionPipeline:
+    """SD3 family txt2img/img2img pipeline (reference mlx/__init__.py:64-594).
+
+    Keeps the reference's public surface: ``generate_image(text, num_steps,
+    cfg_weight, negative_text, latent_size, seed, verbose, image_path,
+    denoise)``, plus ``encode_text`` / ``denoise_latents`` /
+    ``decode_latents_to_image`` phase methods.
+    """
+
+    clip_g_needed = True
+    t5_forced = False
+
+    def __init__(
+        self,
+        w16: bool = True,
+        shift: float = 3.0,
+        use_t5: bool = True,
+        model_version: str = "argmaxinc/mlx-stable-diffusion-3-medium",
+        low_memory_mode: bool = True,
+        a16: bool = True,
+        local_ckpt: Optional[str] = None,
+        load: bool = True,
+        sdpa_impl: Optional[str] = None,
+        quantize_mmdit: bool = False,
+        use_scan: bool = False,
+    ):
+        # TPUs have no fast fp16 path; w16/a16 select bfloat16 (documented
+        # deviation from MLX fp16 for SD3).
+        self.dtype = jnp.bfloat16 if w16 else jnp.float32
+        self.activation_dtype = jnp.bfloat16 if a16 else jnp.float32
+        self.model_version = model_version
+        self.low_memory_mode = low_memory_mode
+        self.local_ckpt = local_ckpt
+        self.use_t5 = use_t5 or self.t5_forced
+        self.sdpa_impl = sdpa_impl
+        self.quantize_mmdit = quantize_mmdit
+        # use_scan: compile the whole denoise schedule as one lax.scan program
+        # (fastest; loses true per-iteration timing).
+        self.use_scan = use_scan
+        self.sampler: FlowSchedule = ModelSamplingDiscreteFlow(shift=shift)
+        self.latent_format = SD3LatentFormat()
+
+        self.mmdit_params: Optional[Params] = None
+        self.mmdit_config: Optional[MMDiTConfig] = None
+        self.decoder_params: Optional[Params] = None
+        self.decoder_config = VAEDecoderConfig()
+        self.encoder_params: Optional[Params] = None
+        self.encoder_config = VAEEncoderConfig()
+        self.clip_l: Optional[Params] = None
+        self.clip_l_config: Optional[CLIPTextModelConfig] = None
+        self.tokenizer_l = None
+        self.clip_g: Optional[Params] = None
+        self.clip_g_config: Optional[CLIPTextModelConfig] = None
+        self.tokenizer_g = None
+        self.t5_params: Optional[Params] = None
+        self.t5_config: T5Config = T5_XXL
+        self.t5_tokenizer = None
+
+        if load:
+            self.check_and_load_models()
+
+    # -- model management (reference mlx/__init__.py:107-174) ---------------
+
+    def load_mmdit(self):
+        self.mmdit_params, self.mmdit_config = model_io.load_mmdit(
+            self.model_version, self.dtype, self.local_ckpt
+        )
+        if self.quantize_mmdit and self.model_version not in model_io.QUANTIZED_CKPT:
+            # int4 weight-only quantisation at load
+            # (reference FluxPipeline(quantize_mmdit=True), mlx/__init__.py:605-625).
+            from .ops.quantized import quantize_tree
+
+            self.mmdit_params = quantize_tree(self.mmdit_params, bits=4)
+
+    def check_and_load_models(self):
+        if self.mmdit_params is None:
+            self.load_mmdit()
+        if self.decoder_params is None:
+            self.decoder_params = model_io.load_vae_decoder(
+                self.model_version, jnp.float32, self.local_ckpt
+            )
+        if self.clip_l is None:
+            self.clip_l, self.clip_l_config = model_io.load_text_encoder("clip_l", self.dtype)
+            self.tokenizer_l = model_io.load_tokenizer("l", pad_with_eos=True)
+        if self.clip_g_needed and self.clip_g is None:
+            self.clip_g, self.clip_g_config = model_io.load_text_encoder("clip_g", self.dtype)
+            self.tokenizer_g = model_io.load_tokenizer("g", pad_with_eos=False)
+        if self.use_t5 and self.t5_params is None:
+            self.t5_params = model_io.load_t5_encoder(self.dtype)
+            self.t5_tokenizer = model_io.load_t5_tokenizer(
+                model_io.T5_MAX_LENGTH[self.model_version]
+            )
+
+    def unload_t5(self):
+        """(reference mlx/__init__.py:156-165)"""
+        self.t5_params = None
+        self.t5_tokenizer = None
+        gc.collect()
+        self.use_t5 = False
+
+    def ensure_models_are_loaded(self):
+        """Block until all weights are resident on device
+        (reference mlx/__init__.py:167-174)."""
+        for tree in (
+            self.mmdit_params, self.decoder_params, self.clip_l, self.clip_g,
+            self.t5_params,
+        ):
+            if tree is not None:
+                jax.block_until_ready(tree)
+
+    # -- text encoding (reference mlx/__init__.py:197-249) ------------------
+
+    def encode_text(self, text: str, cfg_weight: float = 7.5, negative_text: str = ""):
+        neg = negative_text if cfg_weight > 1 else None
+        tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
+        tokens_g = tokenize_batch(self.tokenizer_g, text, neg)
+        out_l = apply_clip(self.clip_l, jnp.asarray(tokens_l), self.clip_l_config)
+        out_g = apply_clip(self.clip_g, jnp.asarray(tokens_g), self.clip_g_config)
+        # Penultimate hidden states, concat to 2048, zero-pad to 4096
+        # (reference mlx/__init__.py:216-237).
+        conditioning = jnp.concatenate(
+            [out_l.hidden_states[-2], out_g.hidden_states[-2]], axis=-1
+        )
+        pooled = jnp.concatenate([out_l.pooled_output, out_g.pooled_output], axis=-1)
+        b, s, d = conditioning.shape
+        conditioning = jnp.concatenate(
+            [conditioning, jnp.zeros((b, s, 4096 - d), conditioning.dtype)], axis=-1
+        )
+        if self.use_t5:
+            tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
+            t5_cond = apply_t5_encoder(
+                self.t5_params, jnp.asarray(tokens_t5), self.t5_config
+            ).astype(conditioning.dtype)
+        else:
+            t5_cond = jnp.zeros_like(conditioning)
+        conditioning = jnp.concatenate([conditioning, t5_cond], axis=1)
+        return conditioning, pooled
+
+    # -- noise / sigma helpers (reference mlx/__init__.py:553-594) -----------
+
+    def get_noise(self, seed: int, x_T: jnp.ndarray) -> jnp.ndarray:
+        np.random.seed(seed)
+        noise = np.random.randn(*np.asarray(x_T).transpose(0, 3, 1, 2).shape)
+        return jnp.asarray(noise.transpose(0, 2, 3, 1), dtype=jnp.float32)
+
+    def get_sigmas(self, num_steps: int) -> np.ndarray:
+        return self.sampler.get_sigmas(num_steps)
+
+    def get_empty_latent(self, *shape) -> jnp.ndarray:
+        return jnp.full([1, *shape, 16], 0.0609, jnp.float32)
+
+    def max_denoise(self, sigmas) -> bool:
+        return self.sampler.max_denoise(sigmas)
+
+    # -- denoising (reference mlx/__init__.py:253-290,750-788) ---------------
+
+    def denoise_latents(
+        self,
+        conditioning,
+        pooled_conditioning,
+        num_steps: int = 2,
+        cfg_weight: float = 0.0,
+        latent_size: Tuple[int, int] = (64, 64),
+        seed=None,
+        image_path: Optional[str] = None,
+        denoise: float = 1.0,
+        num_images: int = 1,
+        guidance: Optional[float] = None,
+    ):
+        seed = int(time.time()) if seed is None else int(seed)
+        logger.info("Seed: %s", seed)
+
+        if image_path is None:
+            denoise = 1.0
+            x_T = self.get_empty_latent(*latent_size)
+        else:
+            x_T = self.encode_image_to_latents(image_path, seed=seed)
+            x_T = self.latent_format.process_in(x_T)
+        noise = self.get_noise(seed, x_T)
+        if num_images > 1:
+            x_T = jnp.tile(x_T, (num_images, 1, 1, 1))
+            noise = jnp.tile(noise, (num_images, 1, 1, 1))
+
+        sigmas = self.get_sigmas(num_steps)[int(num_steps * (1 - denoise)) :]
+        noise_scaled = jnp.asarray(
+            self.sampler.noise_scaling(
+                sigmas[0], noise, x_T, self.max_denoise(sigmas)
+            ),
+            jnp.float32,
+        )
+
+        cfg_on = cfg_weight > 0
+        if cfg_on:
+            if conditioning.shape[0] == 1:
+                conditioning = jnp.tile(conditioning, (2, 1, 1))
+                pooled_conditioning = jnp.tile(pooled_conditioning, (2, 1))
+            if num_images > 1:
+                # [pos*N, neg*N] to match the [x, x] latent doubling.
+                conditioning = jnp.repeat(conditioning, num_images, axis=0)
+                pooled_conditioning = jnp.repeat(pooled_conditioning, num_images, axis=0)
+        else:
+            conditioning = conditioning[:1]
+            pooled_conditioning = pooled_conditioning[:1]
+            if num_images > 1:
+                conditioning = jnp.tile(conditioning, (num_images, 1, 1))
+                pooled_conditioning = jnp.tile(pooled_conditioning, (num_images, 1))
+
+        conditioning = conditioning.astype(self.mmdit_config.dtype)
+        pooled_conditioning = pooled_conditioning.astype(self.mmdit_config.dtype)
+        g = None
+        if self.mmdit_config.guidance_embed:
+            g = jnp.asarray(3.5 if guidance is None else guidance, jnp.float32)
+
+        x = noise_scaled
+        iter_time: List[float] = []
+        w = jnp.asarray(cfg_weight, jnp.float32)
+        n_iter = len(sigmas) - 1
+        if self.use_scan:
+            # One XLA program for the whole schedule; per-iter times are
+            # uniform by construction (reported as total/n).
+            t0 = time.perf_counter()
+            x = _denoise_scan(
+                self.mmdit_params,
+                x,
+                jnp.asarray(sigmas, jnp.float32),
+                conditioning,
+                pooled_conditioning,
+                w,
+                g,
+                self.mmdit_config,
+                cfg_on,
+                self.sdpa_impl,
+            )
+            x.block_until_ready()
+            iter_time = [round((time.perf_counter() - t0) / max(n_iter, 1), 4)] * n_iter
+        else:
+            for i in range(n_iter):
+                t0 = time.perf_counter()
+                x = _denoise_step(
+                    self.mmdit_params,
+                    x,
+                    jnp.asarray(sigmas[i], jnp.float32),
+                    jnp.asarray(sigmas[i + 1], jnp.float32),
+                    conditioning,
+                    pooled_conditioning,
+                    w,
+                    g,
+                    self.mmdit_config,
+                    cfg_on,
+                    self.sdpa_impl,
+                )
+                x.block_until_ready()
+                iter_time.append(round(time.perf_counter() - t0, 4))
+
+        latent = self.latent_format.process_out(x)
+        return latent, iter_time
+
+    # -- decoding / encoding (reference mlx/__init__.py:581-594) -------------
+
+    def decode_latents_to_image(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        return _decode_step(
+            self.decoder_params, x_t.astype(jnp.float32), self.decoder_config
+        )
+
+    def read_image(self, image_path: str) -> jnp.ndarray:
+        from PIL import Image
+
+        img = Image.open(image_path)
+        W, H = (dim - dim % 64 for dim in (img.width, img.height))
+        if W != img.width or H != img.height:
+            logger.warning(
+                "Image shape not divisible by 64, downsampling to %dx%d", W, H
+            )
+            img = img.resize((W, H), Image.LANCZOS)
+        arr = np.asarray(img)[:, :, :3].astype(np.float32) / 255 * 2 - 1
+        return jnp.asarray(arr)[None]
+
+    def encode_image_to_latents(self, image_path: str, seed: int) -> jnp.ndarray:
+        if self.encoder_params is None:
+            self.encoder_params = model_io.load_vae_encoder(
+                self.model_version, jnp.float32, self.local_ckpt
+            )
+        image = self.read_image(image_path)
+        # Noise drawn with the same seed as the denoise loop — matches the
+        # reference exactly (np.random.seed per get_noise call,
+        # reference mlx/__init__.py:553-555,586-594).
+        b, h, w, _ = image.shape
+        mean_shape = jnp.zeros((b, h // 8, w // 8, 16))
+        noise = self.get_noise(seed, mean_shape)
+        return _encode_step(self.encoder_params, image, noise, self.encoder_config)
+
+    # -- end-to-end (reference mlx/__init__.py:294-534) ----------------------
+
+    def _mem(self) -> Dict[str, Optional[float]]:
+        stats = device_memory_stats()
+        return {
+            k: (round(bytes2gigabytes(v), 3) if v is not None else None)
+            for k, v in (
+                ("peak_memory", stats["peak_memory"]),
+                ("active_memory", stats["active_memory"]),
+            )
+        }
+
+    def generate_image(
+        self,
+        text: str,
+        num_steps: int = 2,
+        cfg_weight: float = 0.0,
+        negative_text: str = "",
+        latent_size: Tuple[int, int] = (64, 64),
+        seed=None,
+        verbose: bool = True,
+        image_path: Optional[str] = None,
+        denoise: float = 1.0,
+        num_images: int = 1,
+        guidance: Optional[float] = None,
+    ):
+        from PIL import Image
+
+        start_time = time.time()
+        assert latent_size[0] % 2 == 0 and latent_size[1] % 2 == 0, (
+            "Latent sizes must be divisible by 2 (patch size)"
+        )
+        self.check_and_load_models()
+
+        log: Dict[str, Any] = {
+            "text_encoding": {"pre": self._mem(), "post": {}, "time": None},
+            "denoising": {"pre": {}, "post": {}, "time": None, "iter_time": []},
+            "decoding": {"pre": {}, "post": {}, "time": None},
+            "peak_memory": 0.0,
+        }
+
+        def track_peak(snap):
+            if snap.get("peak_memory"):
+                log["peak_memory"] = max(log["peak_memory"], snap["peak_memory"])
+
+        t0 = time.time()
+        conditioning, pooled = self.encode_text(text, cfg_weight, negative_text)
+        jax.block_until_ready(conditioning)
+        log["text_encoding"]["post"] = self._mem()
+        log["text_encoding"]["time"] = round(time.time() - t0, 3)
+        track_peak(log["text_encoding"]["post"])
+        if verbose:
+            logger.info("Text encoding time: %.2fs", log["text_encoding"]["time"])
+
+        if self.low_memory_mode:
+            # Unload text encoders between phases (reference
+            # mlx/__init__.py:380-386); XLA frees HBM when refs drop.
+            self.t5_params = None
+            self.clip_l = None
+            self.clip_g = None
+            gc.collect()
+
+        t0 = time.time()
+        log["denoising"]["pre"] = self._mem()
+        latents, iter_time = self.denoise_latents(
+            conditioning,
+            pooled,
+            num_steps=num_steps,
+            cfg_weight=cfg_weight,
+            latent_size=latent_size,
+            seed=seed,
+            image_path=image_path,
+            denoise=denoise,
+            num_images=num_images,
+            guidance=guidance,
+        )
+        jax.block_until_ready(latents)
+        log["denoising"]["post"] = self._mem()
+        log["denoising"]["time"] = round(time.time() - t0, 3)
+        log["denoising"]["iter_time"] = iter_time
+        track_peak(log["denoising"]["post"])
+        if verbose:
+            logger.info("Denoising time: %.2fs", log["denoising"]["time"])
+
+        if self.low_memory_mode:
+            self.mmdit_params = None
+            gc.collect()
+
+        t0 = time.time()
+        log["decoding"]["pre"] = self._mem()
+        decoded = self.decode_latents_to_image(latents)
+        decoded.block_until_ready()
+        log["decoding"]["post"] = self._mem()
+        log["decoding"]["time"] = round(time.time() - t0, 3)
+        track_peak(log["decoding"]["post"])
+        if verbose:
+            logger.info("Decoding time: %.2fs", log["decoding"]["time"])
+
+        if self.low_memory_mode:
+            self.decoder_params = None
+            gc.collect()
+
+        x = (np.asarray(decoded) * 255).astype(np.uint8)
+        log["total_time"] = round(time.time() - start_time, 3)
+        if verbose:
+            logger.info("Total time: %.2fs", log["total_time"])
+        if x.shape[0] == 1:
+            return Image.fromarray(x[0]), log
+        return [Image.fromarray(im) for im in x], log
+
+
+class FluxPipeline(DiffusionPipeline):
+    """FLUX.1 pipeline (reference mlx/__init__.py:597-671): bf16, FluxSampler,
+    CLIP-L pooled + T5 token-level conditioning, no clip_g, T5 forced on."""
+
+    clip_g_needed = False
+    t5_forced = True
+
+    def __init__(
+        self,
+        w16: bool = True,
+        shift: float = 1.0,
+        use_t5: bool = True,
+        model_version: str = "argmaxinc/mlx-FLUX.1-schnell",
+        low_memory_mode: bool = True,
+        a16: bool = True,
+        local_ckpt: Optional[str] = None,
+        load: bool = True,
+        sdpa_impl: Optional[str] = None,
+        quantize_mmdit: bool = False,
+        use_scan: bool = False,
+    ):
+        super().__init__(
+            w16=w16,
+            shift=shift,
+            use_t5=True,
+            model_version=model_version,
+            low_memory_mode=low_memory_mode,
+            a16=a16,
+            local_ckpt=local_ckpt,
+            load=load,
+            sdpa_impl=sdpa_impl,
+            quantize_mmdit=quantize_mmdit,
+            use_scan=use_scan,
+        )
+        self.sampler = FluxSampler(shift=shift)
+        self.latent_format = FluxLatentFormat()
+
+    def encode_text(self, text: str, cfg_weight: float = 7.5, negative_text: str = ""):
+        """CLIP-L pooled + T5 token conditioning, positive row only, T5 padded
+        to the model's max length (reference mlx/__init__.py:642-671)."""
+        neg = negative_text if cfg_weight > 1 else None
+        tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
+        out_l = apply_clip(self.clip_l, jnp.asarray(tokens_l[:1]), self.clip_l_config)
+        pooled = out_l.pooled_output
+
+        tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
+        max_len = model_io.T5_MAX_LENGTH[self.model_version]
+        padded = np.zeros((1, max_len), dtype=tokens_t5.dtype)
+        padded[:, : tokens_t5.shape[1]] = tokens_t5[:1]
+        conditioning = apply_t5_encoder(
+            self.t5_params, jnp.asarray(padded), self.t5_config
+        )
+        return conditioning, pooled

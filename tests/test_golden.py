@@ -1,0 +1,68 @@
+"""Golden-image E2E regression vs the reference dataset.
+
+Mirror of reference tests/mlx/test_diffusion_pipeline.py:18-102
+(``test_sd3_pipeline_correctness``): regenerate each row of the
+``argmaxinc/sd-test-images`` dataset at fixed seed and assert
+PSNR >= 20 dB against the stored reference image.
+
+Requires real checkpoints + the golden dataset; both are gated on
+``DIFFUSIONKIT_TPU_CKPT_DIR`` (zero-egress environments skip). Layout:
+  $DIFFUSIONKIT_TPU_CKPT_DIR/<model repo>/<file>           (checkpoints)
+  $DIFFUSIONKIT_TPU_CKPT_DIR/argmaxinc/sd-test-images/     (metadata.json + images)
+"""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TEST_PSNR_THRESHOLD = 20  # dB (reference test_diffusion_pipeline.py:20)
+
+_ROOT = os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR")
+_DATASET = Path(_ROOT) / "argmaxinc" / "sd-test-images" if _ROOT else None
+
+pytestmark = pytest.mark.skipif(
+    _DATASET is None or not (_DATASET / "metadata.json").exists(),
+    reason="golden dataset not available (set DIFFUSIONKIT_TPU_CKPT_DIR)",
+)
+
+
+def _examples():
+    with open(_DATASET / "metadata.json") as f:
+        return json.load(f)
+
+
+def test_pipeline_correctness_golden_images():
+    from PIL import Image
+
+    from diffusionkit_tpu.pipeline import DiffusionPipeline, FluxPipeline
+    from diffusionkit_tpu.utils import image_psnr
+
+    for example in _examples():
+        version = example["model_version"]
+        cls = FluxPipeline if "FLUX" in version else DiffusionPipeline
+        pipe = cls(
+            w16=True,
+            a16=True,
+            model_version=version,
+            low_memory_mode=True,
+            use_t5=example.get("use_t5", False),
+        )
+        img, _ = pipe.generate_image(
+            example["prompt"],
+            num_steps=example["steps"],
+            cfg_weight=example["cfg"],
+            negative_text=example.get("neg_prompt", ""),
+            latent_size=(example["height"] // 8, example["width"] // 8),
+            seed=example["seed"],
+            verbose=False,
+        )
+        ref = Image.open(_DATASET / example["image"])
+        psnr = image_psnr(ref, img)
+        assert psnr >= TEST_PSNR_THRESHOLD, (
+            f"{version}: PSNR {psnr:.1f} dB < {TEST_PSNR_THRESHOLD} dB "
+            f"for prompt {example['prompt']!r}"
+        )
+        del pipe

@@ -1,0 +1,356 @@
+"""Checkpoint-mapper tests against synthetic raw state dicts.
+
+Builds flat state dicts in the *raw checkpoint layouts* (sgm SD3 namespace,
+BFL FLUX namespace, HF CLIP/T5 namespaces — the layouts consumed by reference
+model_io.py:130-612) and checks that the mappers produce forward-runnable
+pytrees with the documented split/transpose semantics.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionkit_tpu.config import (
+    CLIPTextModelConfig,
+    MMDiTConfig,
+    PositionalEncoding,
+    T5Config,
+)
+from diffusionkit_tpu.model_io import (
+    clip_params_from_hf_ckpt,
+    dequantize_mlx_4bit,
+    mmdit_params_from_flux_ckpt,
+    mmdit_params_from_sd3_ckpt,
+    t5_params_from_ckpt,
+    vae_decoder_params_from_ckpt,
+    vae_encoder_params_from_ckpt,
+)
+from diffusionkit_tpu.models import (
+    apply_clip,
+    apply_mmdit,
+    apply_t5_encoder,
+    apply_vae_decoder,
+    apply_vae_encoder,
+)
+from diffusionkit_tpu.config import VAEDecoderConfig, VAEEncoderConfig
+
+TINY_SD3 = MMDiTConfig(
+    depth_multimodal=2, num_heads=2, hidden_size_override=64,
+    max_latent_resolution=8, dtype=jnp.float32,
+)
+TINY_FLUX = MMDiTConfig(
+    depth_multimodal=1, depth_unified=2, num_heads=2, hidden_size_override=64,
+    patchify_via_reshape=True, pos_embed_type=PositionalEncoding.PreSDPARope,
+    rope_axes_dim=(8, 12, 12), pooled_text_embed_dim=96, use_qk_norm=True,
+    guidance_embed=False, dtype=jnp.float32,
+)
+
+_rs = np.random.RandomState(42)
+
+
+def _w(*shape):
+    return (_rs.randn(*shape) * 0.02).astype(np.float32)
+
+
+def _sd3_raw_ckpt(config):
+    H = config.hidden_size
+    sd = {}
+    pfx = "model.diffusion_model."
+    for i in range(config.depth_multimodal):
+        last = i == config.depth_multimodal - 1
+        for blk in ["x_block", "context_block"]:
+            b = f"{pfx}joint_blocks.{i}.{blk}"
+            sd[f"{b}.attn.qkv.weight"] = _w(3 * H, H)
+            sd[f"{b}.attn.qkv.bias"] = _w(3 * H)
+            skip = last and blk == "context_block"
+            n_mod = 2 if skip else 6
+            sd[f"{b}.adaLN_modulation.1.weight"] = _w(n_mod * H, H)
+            sd[f"{b}.adaLN_modulation.1.bias"] = _w(n_mod * H)
+            if not skip:
+                sd[f"{b}.attn.proj.weight"] = _w(H, H)
+                sd[f"{b}.attn.proj.bias"] = _w(H)
+                sd[f"{b}.mlp.fc1.weight"] = _w(4 * H, H)
+                sd[f"{b}.mlp.fc1.bias"] = _w(4 * H)
+                sd[f"{b}.mlp.fc2.weight"] = _w(H, 4 * H)
+                sd[f"{b}.mlp.fc2.bias"] = _w(H)
+    sd[pfx + "x_embedder.proj.weight"] = _w(H, 16, 2, 2)
+    sd[pfx + "x_embedder.proj.bias"] = _w(H)
+    R = config.max_latent_resolution
+    sd[pfx + "pos_embed"] = _w(1, R * R, H)
+    sd[pfx + "context_embedder.weight"] = _w(H, 4096)
+    sd[pfx + "context_embedder.bias"] = _w(H)
+    for name, din in [("t_embedder", 256), ("y_embedder", config.pooled_text_embed_dim)]:
+        sd[f"{pfx}{name}.mlp.0.weight"] = _w(H, din)
+        sd[f"{pfx}{name}.mlp.0.bias"] = _w(H)
+        sd[f"{pfx}{name}.mlp.2.weight"] = _w(H, H)
+        sd[f"{pfx}{name}.mlp.2.bias"] = _w(H)
+    sd[pfx + "final_layer.adaLN_modulation.1.weight"] = _w(2 * H, H)
+    sd[pfx + "final_layer.adaLN_modulation.1.bias"] = _w(2 * H)
+    sd[pfx + "final_layer.linear.weight"] = _w(4 * 16, H)
+    sd[pfx + "final_layer.linear.bias"] = _w(4 * 16)
+    return sd
+
+
+def test_sd3_mapper_forward():
+    sd = _sd3_raw_ckpt(TINY_SD3)
+    params = mmdit_params_from_sd3_ckpt(sd, TINY_SD3, jnp.float32)
+    # qkv row-split semantics: q rows are the first H rows, transposed.
+    want_q = sd["model.diffusion_model.joint_blocks.0.x_block.attn.qkv.weight"][:64].T
+    np.testing.assert_allclose(
+        np.asarray(params["mm_blocks"]["img"]["q"]["kernel"][0]), want_q, atol=1e-7
+    )
+    # k bias dropped.
+    assert params["mm_blocks"]["img"]["k"]["bias"] is None
+    out = apply_mmdit(
+        params, TINY_SD3,
+        jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 7, 4096)),
+        jnp.zeros((1, 2048)), jnp.asarray([500.0]),
+    )
+    assert out.shape == (1, 8, 8, 16)
+    assert jnp.isfinite(out).all()
+
+
+def test_sd3_patch_conv_fold_matches_conv():
+    """Folded x_embedder matmul == the reference k=2/s=2 conv (mmdit.py:285-290)."""
+    import torch
+
+    sd = _sd3_raw_ckpt(TINY_SD3)
+    params = mmdit_params_from_sd3_ckpt(sd, TINY_SD3, jnp.float32)
+    x = _rs.randn(1, 16, 8, 8).astype(np.float32)  # NCHW for torch
+    w = torch.from_numpy(sd["model.diffusion_model.x_embedder.proj.weight"])
+    b = torch.from_numpy(sd["model.diffusion_model.x_embedder.proj.bias"])
+    conv = torch.nn.functional.conv2d(torch.from_numpy(x), w, b, stride=2)
+    # (1, H, 4, 4) -> (1, 16, H) token-major
+    want = conv.permute(0, 2, 3, 1).reshape(1, 16, -1).numpy()
+
+    from diffusionkit_tpu.ops.common import linear, patchify
+
+    tokens = patchify(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)
+    got = np.asarray(linear(params["x_embedder"], tokens))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _flux_raw_ckpt(config):
+    H = config.hidden_size
+    hd = H // config.num_heads
+    mlp = config.mlp_ratio
+    sd = {}
+    for i in range(config.depth_multimodal):
+        b = f"double_blocks.{i}"
+        for tag in ["img", "txt"]:
+            sd[f"{b}.{tag}_attn.qkv.weight"] = _w(3 * H, H)
+            sd[f"{b}.{tag}_attn.qkv.bias"] = _w(3 * H)
+            sd[f"{b}.{tag}_attn.proj.weight"] = _w(H, H)
+            sd[f"{b}.{tag}_attn.proj.bias"] = _w(H)
+            sd[f"{b}.{tag}_attn.norm.query_norm.scale"] = _w(hd) + 1
+            sd[f"{b}.{tag}_attn.norm.key_norm.scale"] = _w(hd) + 1
+            sd[f"{b}.{tag}_mlp.0.weight"] = _w(mlp * H, H)
+            sd[f"{b}.{tag}_mlp.0.bias"] = _w(mlp * H)
+            sd[f"{b}.{tag}_mlp.2.weight"] = _w(H, mlp * H)
+            sd[f"{b}.{tag}_mlp.2.bias"] = _w(H)
+            sd[f"{b}.{tag}_mod.lin.weight"] = _w(6 * H, H)
+            sd[f"{b}.{tag}_mod.lin.bias"] = _w(6 * H)
+    for i in range(config.depth_unified):
+        b = f"single_blocks.{i}"
+        sd[f"{b}.linear1.weight"] = _w((3 + mlp) * H, H)
+        sd[f"{b}.linear1.bias"] = _w((3 + mlp) * H)
+        sd[f"{b}.linear2.weight"] = _w(H, (1 + mlp) * H)
+        sd[f"{b}.linear2.bias"] = _w(H)
+        sd[f"{b}.modulation.lin.weight"] = _w(3 * H, H)
+        sd[f"{b}.modulation.lin.bias"] = _w(3 * H)
+        sd[f"{b}.norm.query_norm.scale"] = _w(hd) + 1
+        sd[f"{b}.norm.key_norm.scale"] = _w(hd) + 1
+    sd["img_in.weight"] = _w(H, 16 * 4)
+    sd["img_in.bias"] = _w(H)
+    sd["txt_in.weight"] = _w(H, 4096)
+    sd["txt_in.bias"] = _w(H)
+    for name, din in [("time_in", 256), ("vector_in", config.pooled_text_embed_dim)]:
+        sd[f"{name}.in_layer.weight"] = _w(H, din)
+        sd[f"{name}.in_layer.bias"] = _w(H)
+        sd[f"{name}.out_layer.weight"] = _w(H, H)
+        sd[f"{name}.out_layer.bias"] = _w(H)
+    sd["final_layer.adaLN_modulation.1.weight"] = _w(2 * H, H)
+    sd["final_layer.adaLN_modulation.1.bias"] = _w(2 * H)
+    sd["final_layer.linear.weight"] = _w(4 * 16, H)
+    sd["final_layer.linear.bias"] = _w(4 * 16)
+    return sd
+
+
+def test_flux_mapper_forward():
+    sd = _flux_raw_ckpt(TINY_FLUX)
+    params = mmdit_params_from_flux_ckpt(sd, TINY_FLUX, jnp.float32)
+    H = 64
+    # linear1 row-split: fc1 rows start at 3H.
+    want_fc1 = sd["single_blocks.0.linear1.weight"][3 * H :].T
+    np.testing.assert_allclose(
+        np.asarray(params["uni_blocks"]["fc1"]["kernel"][0]), want_fc1, atol=1e-7
+    )
+    # linear2 col-split: o takes the first H cols; shared bias on o only.
+    want_o = sd["single_blocks.0.linear2.weight"][:, :H].T
+    np.testing.assert_allclose(
+        np.asarray(params["uni_blocks"]["o"]["kernel"][0]), want_o, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["uni_blocks"]["o"]["bias"][0]),
+        sd["single_blocks.0.linear2.bias"], atol=1e-7,
+    )
+    assert params["uni_blocks"]["fc2"]["bias"] is None
+    out = apply_mmdit(
+        params, TINY_FLUX,
+        jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 7, 4096)),
+        jnp.zeros((1, 96)), jnp.asarray([500.0]),
+    )
+    assert out.shape == (1, 8, 8, 16)
+    assert jnp.isfinite(out).all()
+
+
+def _vae_raw(prefix, layers, channels, in_ch, out_ch, down):
+    sd = {}
+    cs = channels
+    sd[prefix + "conv_in.weight"] = _w(cs[0] if down else cs[-1], in_ch, 3, 3)
+    sd[prefix + "conv_in.bias"] = _w(cs[0] if down else cs[-1])
+    mid_c = cs[-1]
+    for blk in ["block_1", "block_2"]:
+        for n in ["norm1", "norm2"]:
+            sd[f"{prefix}mid.{blk}.{n}.weight"] = _w(mid_c) + 1
+            sd[f"{prefix}mid.{blk}.{n}.bias"] = _w(mid_c)
+        sd[f"{prefix}mid.{blk}.conv1.weight"] = _w(mid_c, mid_c, 3, 3)
+        sd[f"{prefix}mid.{blk}.conv1.bias"] = _w(mid_c)
+        sd[f"{prefix}mid.{blk}.conv2.weight"] = _w(mid_c, mid_c, 3, 3)
+        sd[f"{prefix}mid.{blk}.conv2.bias"] = _w(mid_c)
+    sd[f"{prefix}mid.attn_1.norm.weight"] = _w(mid_c) + 1
+    sd[f"{prefix}mid.attn_1.norm.bias"] = _w(mid_c)
+    for n in ["q", "k", "v", "proj_out"]:
+        sd[f"{prefix}mid.attn_1.{n}.weight"] = _w(mid_c, mid_c, 1, 1)
+        sd[f"{prefix}mid.attn_1.{n}.bias"] = _w(mid_c)
+
+    if down:
+        seq = list(zip([cs[0]] + list(cs), cs))
+        word = "down"
+    else:
+        rev = list(reversed(cs))
+        seq = list(zip([rev[0]] + rev, rev))
+        word = "up"
+    for i, (cin, cout) in enumerate(seq[: len(cs)]):
+        for j in range(layers):
+            cin_j = cin if j == 0 else cout
+            b = f"{prefix}{word}.{i}.block.{j}"
+            # decoder's up list is indexed 0 = lowest resolution
+            if not down:
+                b = f"{prefix}{word}.{len(cs)-1-i}.block.{j}"
+                cin_j = cin if j == 0 else cout
+            sd[f"{b}.norm1.weight"] = _w(cin_j) + 1
+            sd[f"{b}.norm1.bias"] = _w(cin_j)
+            sd[f"{b}.conv1.weight"] = _w(cout, cin_j, 3, 3)
+            sd[f"{b}.conv1.bias"] = _w(cout)
+            sd[f"{b}.norm2.weight"] = _w(cout) + 1
+            sd[f"{b}.norm2.bias"] = _w(cout)
+            sd[f"{b}.conv2.weight"] = _w(cout, cout, 3, 3)
+            sd[f"{b}.conv2.bias"] = _w(cout)
+            if cin_j != cout:
+                sd[f"{b}.nin_shortcut.weight"] = _w(cout, cin_j, 1, 1)
+                sd[f"{b}.nin_shortcut.bias"] = _w(cout)
+        if i < len(cs) - 1:
+            if down:
+                sd[f"{prefix}down.{i}.downsample.conv.weight"] = _w(cout, cout, 3, 3)
+                sd[f"{prefix}down.{i}.downsample.conv.bias"] = _w(cout)
+            else:
+                idx = len(cs) - 1 - i
+                sd[f"{prefix}up.{idx}.upsample.conv.weight"] = _w(cout, cout, 3, 3)
+                sd[f"{prefix}up.{idx}.upsample.conv.bias"] = _w(cout)
+    last = cs[0] if not down else cs[-1]
+    sd[prefix + "norm_out.weight"] = _w(last) + 1
+    sd[prefix + "norm_out.bias"] = _w(last)
+    sd[prefix + "conv_out.weight"] = _w(out_ch, last, 3, 3)
+    sd[prefix + "conv_out.bias"] = _w(out_ch)
+    return sd
+
+
+def test_vae_decoder_mapper_forward():
+    channels = (8, 16, 16, 16)
+    sd = _vae_raw("first_stage_model.decoder.", 3, channels, 16, 3, down=False)
+    params = vae_decoder_params_from_ckpt(
+        sd, jnp.float32, prefix="first_stage_model.decoder.", layers_per_block=3
+    )
+    config = VAEDecoderConfig(block_out_channels=channels, layers_per_block=3, resnet_groups=4)
+    out = apply_vae_decoder(params, jnp.zeros((1, 4, 4, 16)), config)
+    assert out.shape == (1, 32, 32, 3)
+    assert jnp.isfinite(out).all()
+
+
+def test_vae_encoder_mapper_forward():
+    channels = (8, 16, 16, 16)
+    sd = _vae_raw("encoder.", 2, channels, 3, 32, down=True)
+    params = vae_encoder_params_from_ckpt(sd, jnp.float32, prefix="encoder.", layers_per_block=2)
+    config = VAEEncoderConfig(block_out_channels=channels, layers_per_block=2, resnet_groups=4)
+    out = apply_vae_encoder(params, jnp.zeros((1, 32, 32, 3)), config)
+    assert out.shape == (1, 4, 4, 32)
+    assert jnp.isfinite(out).all()
+
+
+def test_clip_mapper_forward():
+    config = CLIPTextModelConfig(
+        num_layers=2, model_dims=32, num_heads=2, max_length=16,
+        vocab_size=50, projection_dim=24, hidden_act="gelu",
+    )
+    d = 32
+    sd = {
+        "text_model.embeddings.token_embedding.weight": _w(50, d),
+        "text_model.embeddings.position_embedding.weight": _w(16, d),
+        "text_model.final_layer_norm.weight": _w(d) + 1,
+        "text_model.final_layer_norm.bias": _w(d),
+        "text_projection.weight": _w(24, d),
+    }
+    for i in range(2):
+        pre = f"text_model.encoder.layers.{i}"
+        for ln in ["layer_norm1", "layer_norm2"]:
+            sd[f"{pre}.{ln}.weight"] = _w(d) + 1
+            sd[f"{pre}.{ln}.bias"] = _w(d)
+        for proj in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+            sd[f"{pre}.self_attn.{proj}.weight"] = _w(d, d)
+            sd[f"{pre}.self_attn.{proj}.bias"] = _w(d)
+        sd[f"{pre}.mlp.fc1.weight"] = _w(4 * d, d)
+        sd[f"{pre}.mlp.fc1.bias"] = _w(4 * d)
+        sd[f"{pre}.mlp.fc2.weight"] = _w(d, 4 * d)
+        sd[f"{pre}.mlp.fc2.bias"] = _w(d)
+    params = clip_params_from_hf_ckpt(sd, config, jnp.float32)
+    out = apply_clip(params, jnp.asarray([[49, 3, 5, 48, 0]], jnp.int32), config)
+    assert out.pooled_output.shape == (1, 24)
+    assert out.last_hidden_state.shape == (1, 5, 32)
+
+
+def test_t5_mapper_forward():
+    config = T5Config(vocab_size=60, d_model=32, d_kv=8, d_ff=48, num_layers=2, num_heads=4)
+    sd = {"shared.weight": _w(60, 32)}
+    sd["encoder.final_layer_norm.weight"] = _w(32) + 1
+    sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = _w(32, 4)
+    for i in range(2):
+        pre = f"encoder.block.{i}"
+        sd[f"{pre}.layer.0.layer_norm.weight"] = _w(32) + 1
+        sd[f"{pre}.layer.1.layer_norm.weight"] = _w(32) + 1
+        for n, shape in [("q", (32, 32)), ("k", (32, 32)), ("v", (32, 32)), ("o", (32, 32))]:
+            sd[f"{pre}.layer.0.SelfAttention.{n}.weight"] = _w(*shape)
+        sd[f"{pre}.layer.1.DenseReluDense.wi_0.weight"] = _w(48, 32)
+        sd[f"{pre}.layer.1.DenseReluDense.wi_1.weight"] = _w(48, 32)
+        sd[f"{pre}.layer.1.DenseReluDense.wo.weight"] = _w(32, 48)
+    params = t5_params_from_ckpt(sd, config, jnp.float32)
+    out = apply_t5_encoder(params, jnp.asarray([[1, 2, 3, 4]], jnp.int32), config)
+    assert out.shape == (1, 4, 32)
+    assert jnp.isfinite(out).all()
+
+
+def test_dequantize_mlx_4bit_roundtrip():
+    """Pack known 4-bit values the MLX way and check exact recovery."""
+    rs = np.random.RandomState(0)
+    out_dim, in_dim, group = 4, 128, 64
+    q = rs.randint(0, 16, size=(out_dim, in_dim)).astype(np.uint32)
+    packed = np.zeros((out_dim, in_dim // 8), dtype=np.uint32)
+    for j in range(8):
+        packed |= q[:, j::8] << (4 * j)
+    scales = rs.rand(out_dim, in_dim // group).astype(np.float32) + 0.5
+    biases = rs.randn(out_dim, in_dim // group).astype(np.float32)
+    got = dequantize_mlx_4bit(packed, scales, biases, group)
+    want = q.astype(np.float32) * np.repeat(scales, group, 1) + np.repeat(biases, group, 1)
+    np.testing.assert_allclose(got, want, atol=1e-6)

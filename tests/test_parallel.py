@@ -1,0 +1,100 @@
+"""GSPMD sharding correctness on a virtual 8-device CPU mesh.
+
+A capability the reference lacks entirely (no distributed tests to mirror,
+SURVEY.md §4); validates that tensor-parallel + data-parallel execution is
+numerically identical to single-device execution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusionkit_tpu.config import MMDiTConfig, PositionalEncoding, T5Config
+from diffusionkit_tpu.models import (
+    apply_mmdit,
+    apply_t5_encoder,
+    init_mmdit_params,
+    init_t5_params,
+)
+from diffusionkit_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    mmdit_shardings,
+    replicate,
+    shard_params,
+    t5_shardings,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+# num_heads and mlp hidden must divide the model axis (4).
+TP_SD3 = MMDiTConfig(
+    depth_multimodal=2, num_heads=4, hidden_size_override=64,
+    max_latent_resolution=16, dtype=jnp.float32,
+)
+TP_FLUX = MMDiTConfig(
+    depth_multimodal=1, depth_unified=2, num_heads=4, hidden_size_override=64,
+    patchify_via_reshape=True, pos_embed_type=PositionalEncoding.PreSDPARope,
+    rope_axes_dim=(4, 6, 6), pooled_text_embed_dim=32, use_qk_norm=True,
+    dtype=jnp.float32,
+)
+
+
+def _mmdit_inputs(config, b=2):
+    rs = np.random.RandomState(0)
+    return (
+        jnp.asarray(rs.randn(b, 8, 8, 16), jnp.float32),
+        jnp.asarray(rs.randn(b, 8, config.token_level_text_embed_dim), jnp.float32),
+        jnp.asarray(rs.randn(b, config.pooled_text_embed_dim), jnp.float32),
+        jnp.asarray([500.0] * b, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("config", [TP_SD3, TP_FLUX], ids=["sd3", "flux"])
+def test_tp_dp_matches_single_device(config):
+    params = init_mmdit_params(jax.random.PRNGKey(0), config)
+    inputs = _mmdit_inputs(config)
+    want = np.asarray(apply_mmdit(params, config, *inputs))
+
+    mesh = create_mesh(2, 4)
+    sharded = shard_params(params, mmdit_shardings(params, mesh))
+    in_shard = [data_sharding(mesh, x.ndim) for x in inputs]
+    sharded_inputs = [jax.device_put(x, s) for x, s in zip(inputs, in_shard)]
+
+    fn = jax.jit(lambda p, *a: apply_mmdit(p, config, *a))
+    got = np.asarray(fn(sharded, *sharded_inputs))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_sharding_specs_shapes():
+    """Column/row rules hit the intended axes on stacked kernels."""
+    params = init_mmdit_params(jax.random.PRNGKey(0), TP_SD3)
+    mesh = create_mesh(1, 8)
+    sh = mmdit_shardings(params, mesh)
+    q = sh["mm_blocks"]["img"]["q"]["kernel"].spec
+    assert q == P(None, None, "model")
+    o = sh["mm_blocks"]["img"]["o"]["kernel"].spec
+    assert o == P(None, "model", None)
+    ada = sh["mm_blocks"]["img"]["ada"]["kernel"].spec
+    assert ada == P()
+
+
+def test_t5_tp_matches_single_device():
+    config = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4)
+    params = init_t5_params(jax.random.PRNGKey(0), config)
+    tokens = jnp.asarray([[5, 3, 9, 1, 2, 8, 7, 4]], jnp.int32)
+    want = np.asarray(apply_t5_encoder(params, tokens, config))
+
+    mesh = create_mesh(1, 8)
+    # d_ff=64 / 8 = 8; num_heads=4 < 8 so head sharding padding would be
+    # needed — use model=4 instead.
+    mesh = create_mesh(2, 4)
+    sharded = shard_params(params, t5_shardings(params, mesh))
+    got = np.asarray(
+        jax.jit(lambda p, t: apply_t5_encoder(p, t, config))(sharded, tokens)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

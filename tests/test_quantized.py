@@ -1,0 +1,87 @@
+"""Weight-only quantisation tests (int4/int8 group-affine).
+
+Covers the execution format behind the two ``*-4bit-quantized`` registry
+models and the quantize_mmdit flag (reference model_io.py:728-734,
+mlx/__init__.py:605-625).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionkit_tpu.config import MMDiTConfig
+from diffusionkit_tpu.models import apply_mmdit, init_mmdit_params
+from diffusionkit_tpu.ops.common import linear
+from diffusionkit_tpu.ops.quantized import (
+    pack_int4_host,
+    quantize_kernel_host,
+    quantize_tree,
+    quantized_linear,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rs = np.random.RandomState(0)
+    q = rs.randint(0, 16, size=(64, 16)).astype(np.uint8)
+    packed = np.asarray(pack_int4_host(q))
+    # manual unpack
+    got = np.zeros_like(q)
+    for j in range(8):
+        got[j::8] = (packed >> (4 * j)) & 0xF
+    np.testing.assert_array_equal(got, q)
+
+
+def test_int4_quantized_linear_close():
+    rs = np.random.RandomState(1)
+    w = rs.randn(128, 32).astype(np.float32) * 0.05
+    x = jnp.asarray(rs.randn(2, 7, 128).astype(np.float32))
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(32).astype(np.float32))
+    got = np.asarray(quantized_linear(p, x))
+    want = np.asarray(x) @ w + np.asarray(p["bias"])
+    # int4 grid error: per-group scale ~ range/15.
+    err = np.abs(got - want).max()
+    scale_bound = np.abs(w).max() * 2 / 15 * np.sqrt(128) * 3
+    assert err < scale_bound, (err, scale_bound)
+    # And much better with int8.
+    p8 = quantize_kernel_host(w, bits=8, group_size=64)
+    p8["bias"] = p["bias"]
+    got8 = np.asarray(quantized_linear(p8, x))
+    assert np.abs(got8 - want).max() < err / 4
+
+
+def test_linear_dispatches_quantized():
+    rs = np.random.RandomState(2)
+    w = rs.randn(64, 16).astype(np.float32) * 0.05
+    x = jnp.asarray(rs.randn(3, 64).astype(np.float32))
+    p = quantize_kernel_host(w, bits=8, group_size=64)
+    p["bias"] = None
+    np.testing.assert_allclose(
+        np.asarray(linear(p, x)), np.asarray(quantized_linear(p, x)), atol=1e-6
+    )
+
+
+def test_quantize_tree_mmdit_forward():
+    """Quantised MMDiT runs and stays close to the fp32 model."""
+    config = MMDiTConfig(
+        depth_multimodal=2, num_heads=2, hidden_size_override=64,
+        max_latent_resolution=16, dtype=jnp.float32,
+    )
+    params = init_mmdit_params(jax.random.PRNGKey(0), config)
+    qparams = quantize_tree(params, bits=8, group_size=32, min_size=1)
+    # stacked block kernels became stacked quantized dicts
+    assert "q8" in qparams["mm_blocks"]["img"]["q"]
+    assert qparams["mm_blocks"]["img"]["q"]["q8"].ndim == 3
+
+    rs = np.random.RandomState(0)
+    args = (
+        jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32),
+        jnp.asarray(rs.randn(1, 7, 4096), jnp.float32),
+        jnp.asarray(rs.randn(1, 2048), jnp.float32),
+        jnp.asarray([500.0], jnp.float32),
+    )
+    want = np.asarray(apply_mmdit(params, config, *args))
+    got = np.asarray(apply_mmdit(qparams, config, *args))
+    assert got.shape == want.shape
+    # int8 with tiny groups: outputs track closely.
+    assert np.abs(got - want).mean() < 0.1 * (np.abs(want).mean() + 1e-3)
