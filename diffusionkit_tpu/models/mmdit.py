@@ -368,20 +368,35 @@ def _init_linear(key, d_in, d_out, dtype, bias=True, scale=0.02):
     return p
 
 
-def _init_block(key, config: MMDiTConfig, num_mod: int, with_mlp: bool = True) -> Params:
+def _init_block(
+    key, config: MMDiTConfig, num_mod: int, with_mlp: bool = True,
+    quantize_bits: Optional[int] = None,
+) -> Params:
     H = config.hidden_size
     keys = jax.random.split(key, 8)
     dtype = config.dtype
+
+    if quantize_bits is not None:
+        from ..ops.quantized import random_quantized_linear
+
+        def lin(k, d_in, d_out, bias=True):
+            return random_quantized_linear(
+                k, d_in, d_out, bits=quantize_bits, bias=bias, dtype=dtype
+            )
+    else:
+        def lin(k, d_in, d_out, bias=True):
+            return _init_linear(k, d_in, d_out, dtype, bias=bias)
+
     p: Params = {
-        "q": _init_linear(keys[0], H, H, dtype),
-        "k": _init_linear(keys[1], H, H, dtype, bias=False),
-        "v": _init_linear(keys[2], H, H, dtype),
-        "ada": _init_linear(keys[3], H, num_mod * H, dtype),
+        "q": lin(keys[0], H, H),
+        "k": lin(keys[1], H, H, bias=False),
+        "v": lin(keys[2], H, H),
+        "ada": lin(keys[3], H, num_mod * H),
     }
     if with_mlp:
-        p["o"] = _init_linear(keys[4], H, H, dtype)
-        p["fc1"] = _init_linear(keys[5], H, H * config.mlp_ratio, dtype)
-        p["fc2"] = _init_linear(keys[6], H * config.mlp_ratio, H, dtype)
+        p["o"] = lin(keys[4], H, H)
+        p["fc1"] = lin(keys[5], H, H * config.mlp_ratio)
+        p["fc2"] = lin(keys[6], H * config.mlp_ratio, H)
     if config.use_qk_norm:
         p["qk_norm"] = {
             "q_scale": jnp.ones((config.head_dim,), dtype),
@@ -390,8 +405,15 @@ def _init_block(key, config: MMDiTConfig, num_mod: int, with_mlp: bool = True) -
     return p
 
 
-def init_mmdit_params(key: jax.Array, config: MMDiTConfig) -> Params:
-    """Random parameters with checkpoint-compatible shapes."""
+def init_mmdit_params(
+    key: jax.Array, config: MMDiTConfig, quantize_bits: Optional[int] = None
+) -> Params:
+    """Random parameters with checkpoint-compatible shapes.
+
+    ``quantize_bits`` (4 or 8) generates block weights DIRECTLY in the
+    weight-only-quantized format of ops/quantized.py — required to stand up
+    models whose unquantized weights exceed HBM (12B FLUX on one v5e).
+    """
     H = config.hidden_size
     dtype = config.dtype
     keys = iter(jax.random.split(key, 16))
@@ -438,15 +460,18 @@ def init_mmdit_params(key: jax.Array, config: MMDiTConfig) -> Params:
     for i in range(n_uniform):
         k1, k2, mm_key = jax.random.split(mm_key, 3)
         blocks.append(
-            {"img": _init_block(k1, config, 6), "txt": _init_block(k2, config, 6)}
+            {
+                "img": _init_block(k1, config, 6, quantize_bits=quantize_bits),
+                "txt": _init_block(k2, config, 6, quantize_bits=quantize_bits),
+            }
         )
     params["mm_blocks"] = tree_stack(blocks)
 
     if config.depth_unified == 0:
         k1, k2 = jax.random.split(next(keys))
         params["mm_final"] = {
-            "img": _init_block(k1, config, 6),
-            "txt": _init_block(k2, config, 2, with_mlp=False),
+            "img": _init_block(k1, config, 6, quantize_bits=quantize_bits),
+            "txt": _init_block(k2, config, 2, with_mlp=False, quantize_bits=quantize_bits),
         }
     else:
         uni_key = next(keys)
@@ -454,7 +479,7 @@ def init_mmdit_params(key: jax.Array, config: MMDiTConfig) -> Params:
         n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
         for i in range(config.depth_unified):
             k1, uni_key = jax.random.split(uni_key)
-            ublocks.append(_init_block(k1, config, n_mod))
+            ublocks.append(_init_block(k1, config, n_mod, quantize_bits=quantize_bits))
         params["uni_blocks"] = tree_stack(ublocks)
 
     return params

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native I/O library (native/dkio.cpp).
+
+Builds ``libdkio.so`` on demand with g++ (cached next to the source) and
+falls back to pure numpy when no toolchain is available, so the package
+stays importable everywhere. See native/dkio.cpp for what lives natively
+and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .utils import get_logger
+
+logger = get_logger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libdkio.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "dkio.cpp"
+    if not src.exists():
+        return False
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(_SO_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # toolchain absent / sandboxed build dir
+        logger.debug("native build failed (%s); using numpy fallbacks", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) libdkio; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.dk_prefetch.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+        lib.dk_prefetch.restype = ctypes.c_int
+        for name in ("dk_f16_to_f32", "dk_bf16_to_f32"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+            fn.restype = None
+        lib.dk_f32_to_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.dk_f32_to_bf16.restype = None
+        _lib = lib
+    except OSError as e:
+        logger.debug("libdkio load failed: %s", e)
+    return _lib
+
+
+def prefetch(buf, eager: bool = False) -> None:
+    """madvise(WILLNEED) a buffer (e.g. a mmap'd checkpoint); no-op without
+    the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return
+    # np.frombuffer accepts read-only buffers (ctypes.from_buffer does not).
+    view = np.frombuffer(buf, dtype=np.uint8)
+    lib.dk_prefetch(ctypes.c_void_p(view.ctypes.data), view.size, int(eager))
+
+
+def f16_to_f32(src: np.ndarray) -> np.ndarray:
+    """Bulk fp16 -> fp32 (native when available)."""
+    assert src.dtype == np.float16
+    lib = get_lib()
+    flat = np.ascontiguousarray(src)
+    if lib is None:
+        return flat.astype(np.float32)
+    out = np.empty(flat.shape, np.float32)
+    lib.dk_f16_to_f32(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        flat.size,
+    )
+    return out
+
+
+def f32_to_bf16(src: np.ndarray) -> np.ndarray:
+    """Bulk fp32 -> bf16 (round-to-nearest-even), returned as ml_dtypes array."""
+    import ml_dtypes
+
+    flat = np.ascontiguousarray(src, dtype=np.float32)
+    lib = get_lib()
+    if lib is None:
+        return flat.astype(ml_dtypes.bfloat16)
+    out = np.empty(flat.shape, np.uint16)
+    lib.dk_f32_to_bf16(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        flat.size,
+    )
+    return out.view(ml_dtypes.bfloat16)

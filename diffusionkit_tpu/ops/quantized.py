@@ -159,3 +159,28 @@ def quantize_tree(
     if isinstance(params, list):
         return [quantize_tree(v, bits, group_size, min_size) for v in params]
     return params
+
+
+def random_quantized_linear(
+    key: "jax.Array", d_in: int, d_out: int, bits: int = 4,
+    group_size: int = 64, bias: bool = True, scale: float = 0.02,
+    dtype=jnp.bfloat16,
+) -> Params:
+    """Random weights generated DIRECTLY in quantized form (for benchmarks
+    and tests of models too large to materialize unquantized — e.g. a 12B
+    FLUX MMDiT is 24 GB bf16 but 6 GB int4)."""
+    kq, kb = jax.random.split(key)
+    groups = d_in // group_size
+    p: Params = {
+        # Symmetric-ish affine around zero: q uniform, scale ~ N(0, s)/qmax.
+        "scales": jnp.full((groups, d_out), 2 * scale / (2**bits - 1), jnp.float32),
+        "zeros": jnp.full((groups, d_out), -scale, jnp.float32),
+        "bias": jnp.zeros((d_out,), dtype) if bias else None,
+    }
+    if bits == 4:
+        p["q4"] = jax.random.randint(
+            kq, (d_in // 8, d_out), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        ).astype(jnp.uint32)
+    else:
+        p["q8"] = jax.random.randint(kq, (d_in, d_out), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    return p

@@ -504,6 +504,7 @@ class DiffusionPipeline:
         denoise: float = 1.0,
         num_images: int = 1,
         guidance: Optional[float] = None,
+        profile_dir: Optional[str] = None,
     ):
         from PIL import Image
 
@@ -543,6 +544,13 @@ class DiffusionPipeline:
 
         t0 = time.time()
         log["denoising"]["pre"] = self._mem()
+        # Optional profiler capture of the hot loop (TPU equivalent of the
+        # reference's per-phase timing contract, SURVEY.md §5: "same phase
+        # log + jax.profiler trace option").
+        prof = None
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            prof = profile_dir
         latents, iter_time = self.denoise_latents(
             conditioning,
             pooled,
@@ -556,6 +564,9 @@ class DiffusionPipeline:
             guidance=guidance,
         )
         jax.block_until_ready(latents)
+        if prof:
+            jax.profiler.stop_trace()
+            logger.info("Profiler trace written to %s", prof)
         log["denoising"]["post"] = self._mem()
         log["denoising"]["time"] = round(time.time() - t0, 3)
         log["denoising"]["iter_time"] = iter_time

@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU additions
     parser.add_argument("--num-images", type=int, default=1, help="Images per prompt (batched)")
     parser.add_argument("--guidance", type=float, default=None, help="FLUX.1-dev guidance scale")
+    parser.add_argument(
+        "--profile-dir", type=str, default=None,
+        help="Write a jax.profiler trace of the denoise loop to this directory",
+    )
+    parser.add_argument(
+        "--use-scan", action="store_true",
+        help="Compile the whole denoise schedule as one lax.scan program (fastest)",
+    )
     return parser
 
 
@@ -115,6 +123,7 @@ def cli(argv=None):
         low_memory_mode=args.low_memory_mode,
         a16=args.a16,
         local_ckpt=args.local_ckpt,
+        use_scan=args.use_scan,
     )
     if args.preload_models:
         sd.ensure_models_are_loaded()
@@ -153,6 +162,7 @@ def cli(argv=None):
         verbose=args.verbose,
         num_images=args.num_images,
         guidance=args.guidance,
+        profile_dir=args.profile_dir,
     )
     if isinstance(image, list):
         from pathlib import Path

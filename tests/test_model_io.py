@@ -354,3 +354,49 @@ def test_dequantize_mlx_4bit_roundtrip():
     got = dequantize_mlx_4bit(packed, scales, biases, group)
     want = q.astype(np.float32) * np.repeat(scales, group, 1) + np.repeat(biases, group, 1)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mmap_safetensors_reader_roundtrip(tmp_path):
+    """Zero-copy reader vs the safetensors package writer (incl. bf16)."""
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    from diffusionkit_tpu.model_io import load_safetensors
+
+    rs = np.random.RandomState(0)
+    tensors = {
+        "a.weight": rs.randn(16, 8).astype(np.float32),
+        "b.weight": rs.randn(4, 4, 2).astype(np.float16),
+        "c.bias": rs.randn(7).astype(np.float32).astype(ml_dtypes.bfloat16),
+        "d.packed": rs.randint(0, 2**32 - 1, size=(3, 5), dtype=np.uint32),
+    }
+    path = tmp_path / "test.safetensors"
+    save_file(tensors, str(path))
+    got = load_safetensors(path)
+    assert set(got) == set(tensors)
+    for k in tensors:
+        assert got[k].dtype == tensors[k].dtype
+        np.testing.assert_array_equal(
+            np.asarray(got[k], dtype=np.float64)
+            if got[k].dtype != np.uint32
+            else got[k],
+            np.asarray(tensors[k], dtype=np.float64)
+            if tensors[k].dtype != np.uint32
+            else tensors[k],
+        )
+
+
+def test_native_dtype_conversions():
+    """native/dkio.cpp conversions vs numpy (falls back silently if no g++)."""
+    import ml_dtypes
+
+    from diffusionkit_tpu import native
+
+    rs = np.random.RandomState(1)
+    x16 = rs.randn(1000).astype(np.float16)
+    np.testing.assert_array_equal(native.f16_to_f32(x16), x16.astype(np.float32))
+    x32 = rs.randn(1000).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(native.f32_to_bf16(x32)),
+        x32.astype(ml_dtypes.bfloat16),
+    )

@@ -265,3 +265,36 @@ def test_scan_denoise_matches_loop():
     np.testing.assert_allclose(
         np.asarray(lat_loop), np.asarray(lat_scan), atol=1e-4, rtol=1e-4
     )
+
+
+def test_clip_tokenizer_merge_order():
+    """BPE must apply merges by ascending rank (reference tokenizer.py:47-90)."""
+    vocab = {c: i for i, c in enumerate("abcd")}
+    for extra in ["d</w>", "ab", "cd</w>", "abcd</w>", "ab cd</w>", "bc"]:
+        vocab[extra] = len(vocab)
+    vocab[BOS] = len(vocab)
+    vocab[EOS] = len(vocab)
+    # rank 0: c+d</w>; rank 1: a+b; bc never merges (not in ranks)
+    ranks = {("c", "d</w>"): 0, ("a", "b"): 1}
+    tok = CLIPTokenizer(ranks, vocab)
+    assert tok.bpe("abcd") == ["ab", "cd</w>"]
+    # Single char word
+    assert tok.bpe("d") == ["d</w>"]
+
+
+def test_memory_log_json_serializable(tmp_path):
+    """Phase log round-trips through JSON (reference
+    tests/mlx/test_diffusion_pipeline.py:104-145 persists the memory log)."""
+    import json
+
+    pipe = build_sd3_pipeline()
+    _, log = pipe.generate_image(
+        "a cat", num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seed=2,
+        verbose=False,
+    )
+    p = tmp_path / "log.json"
+    with open(p, "w") as f:
+        json.dump(log, f)
+    with open(p) as f:
+        back = json.load(f)
+    assert set(back) >= {"text_encoding", "denoising", "decoding", "peak_memory", "total_time"}
