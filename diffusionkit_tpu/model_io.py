@@ -710,7 +710,12 @@ def load_mmdit(
         params = quantize_tree(params, bits=4, group_size=64)
     if to_device:
         params = jax.device_put(params, shardings)
-    logger.info("Loaded MMDiT %s from %s", model_version, path)
+    from .utils import tree_num_params
+
+    logger.info(
+        "Loaded MMDiT %s (%.2fB params) from %s",
+        model_version, tree_num_params(params) / 1e9, path,
+    )
     return params, config
 
 

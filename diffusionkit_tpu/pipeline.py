@@ -53,7 +53,12 @@ from .models import (
 )
 from .sampler import FlowSchedule, FluxSampler, ModelSamplingDiscreteFlow
 from .tokenizer import tokenize_batch
-from .utils import bytes2gigabytes, device_memory_stats, get_logger
+from .utils import (
+    bytes2gigabytes,
+    device_memory_stats,
+    get_logger,
+    inference_context,
+)
 
 logger = get_logger(__name__)
 
@@ -595,6 +600,13 @@ class DiffusionPipeline:
         x = (np.asarray(decoded) * 255).astype(np.uint8)
         log["total_time"] = round(time.time() - start_time, 3)
         if verbose:
+            logger.info("============= Summary =============")
+            logger.info("Text encoder: %.1fs", log["text_encoding"]["time"])
+            logger.info("Denoising: %.1fs", log["denoising"]["time"])
+            logger.info("Image decoder: %.1fs", log["decoding"]["time"])
+            if log["peak_memory"]:
+                logger.info("Peak memory: %.1fGB", log["peak_memory"])
+            logger.info("Inference context: %s", inference_context())
             logger.info("Total time: %.2fs", log["total_time"])
         if x.shape[0] == 1:
             return Image.fromarray(x[0]), log

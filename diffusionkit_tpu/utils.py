@@ -84,3 +84,33 @@ def compute_psnr(reference: np.ndarray, proxy: np.ndarray) -> float:
 def image_psnr(reference, image) -> float:
     """PSNR between two images (PIL Images or arrays) (reference utils.py:52-63)."""
     return compute_psnr(np.asarray(reference), np.asarray(image))
+
+
+def tree_num_params(tree) -> int:
+    """Total parameter count of a pytree (reference utils.py:16-49
+    ``_load_weights`` param-count validation role)."""
+    import jax
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))
+
+
+def inference_context() -> Dict[str, object]:
+    """OS/device spec report — equivalent of the reference's
+    ``DiffusionKitInferenceContext`` (reference mlx/__init__.py:56-61,512-517,
+    argmaxtools AppleSiliconContextMixin) for TPU hosts."""
+    import platform
+
+    import jax
+
+    dev = jax.devices()[0]
+    return {
+        "os": f"{platform.system()} {platform.release()}",
+        "python": platform.python_version(),
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "device_kind": getattr(dev, "device_kind", str(dev)),
+        "num_devices": jax.device_count(),
+        "process_index": jax.process_index(),
+        "num_processes": jax.process_count(),
+    }

@@ -400,3 +400,35 @@ def test_native_dtype_conversions():
         np.asarray(native.f32_to_bf16(x32)),
         x32.astype(ml_dtypes.bfloat16),
     )
+
+
+def test_sd35_mapper_qk_norm():
+    """SD3.5-style checkpoints carry attn.ln_q/ln_k RMSNorm scales
+    (reference model_io.py:352-358)."""
+    cfg = dataclasses.replace(TINY_SD3, use_qk_norm=True, depth_multimodal=2)
+    sd = _sd3_raw_ckpt(cfg)
+    hd = cfg.head_dim
+    for i in range(2):
+        for blk in ["x_block", "context_block"]:
+            b = f"model.diffusion_model.joint_blocks.{i}.{blk}"
+            sd[f"{b}.attn.ln_q.weight"] = _w(hd) + 1
+            sd[f"{b}.attn.ln_k.weight"] = _w(hd) + 1
+    params = mmdit_params_from_sd3_ckpt(sd, cfg, jnp.float32)
+    assert "qk_norm" in params["mm_blocks"]["img"]
+    want = sd["model.diffusion_model.joint_blocks.0.x_block.attn.ln_q.weight"]
+    np.testing.assert_allclose(
+        np.asarray(params["mm_blocks"]["img"]["qk_norm"]["q_scale"][0]), want
+    )
+    out = apply_mmdit(
+        params, cfg,
+        jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 7, 4096)),
+        jnp.zeros((1, 2048)), jnp.asarray([500.0]),
+    )
+    assert jnp.isfinite(out).all()
+
+
+def test_tree_num_params():
+    from diffusionkit_tpu.utils import tree_num_params
+
+    tree = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(5), "d": None}}
+    assert tree_num_params(tree) == 11
