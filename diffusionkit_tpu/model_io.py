@@ -774,3 +774,73 @@ def load_t5_tokenizer(max_length: int = 256):
     if root and (Path(root) / "google/t5-v1_1-xxl").exists():
         path = str(Path(root) / "google/t5-v1_1-xxl")
     return T5TokenizerWrapper(path, max_length=max_length)
+
+
+# ---------------------------------------------------------------------------
+# Native-layout checkpoint cache (save/load of mapped pytrees)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_params(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested dict/list pytree -> flat {'a/b/0/c': array}; None leaves skipped."""
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        raise TypeError(type(tree))
+    for k, v in items:
+        key = f"{prefix}{k}"
+        if v is None:
+            continue
+        if isinstance(v, (dict, list, tuple)):
+            out.update(_flatten_params(v, key + "/"))
+        else:
+            out[key] = np.asarray(jax.device_get(v))
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> Params:
+    root: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(root)
+
+
+def save_params(params: Params, path: Union[str, Path]) -> None:
+    """Save a mapped parameter pytree in THIS framework's layout.
+
+    A capability the reference lacks (SURVEY.md §5 "no saving"): warm-start
+    cache that skips the raw-checkpoint key mapping/splitting on reload —
+    including quantized (q4/scales/zeros) trees. Written as standard
+    safetensors with '/'-joined pytree paths as keys.
+    """
+    from safetensors.numpy import save_file
+
+    flat = _flatten_params(params)
+    # ml_dtypes (bf16) arrays pass through safetensors natively.
+    save_file(flat, str(path))
+    logger.info("Saved %d tensors to %s", len(flat), path)
+
+
+def load_params(path: Union[str, Path], to_device: bool = True, shardings=None) -> Params:
+    """Load a pytree saved by save_params (zero-copy mmap read)."""
+    flat = load_safetensors(path)
+    params = _unflatten_params(flat)
+    if to_device:
+        params = jax.device_put(params, shardings)
+    return params

@@ -432,3 +432,30 @@ def test_tree_num_params():
 
     tree = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(5), "d": None}}
     assert tree_num_params(tree) == 11
+
+
+def test_save_load_params_roundtrip(tmp_path):
+    """Native-layout checkpoint cache round trip (incl. stacked + quantized
+    leaves and skipped None biases)."""
+    from diffusionkit_tpu.model_io import load_params, save_params
+    from diffusionkit_tpu.models import init_mmdit_params
+
+    params = init_mmdit_params(jax.random.PRNGKey(0), TINY_SD3)
+    path = tmp_path / "mmdit.safetensors"
+    save_params(params, path)
+    back = load_params(path, to_device=False)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # Forward parity
+    args = (jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 7, 4096)),
+            jnp.zeros((1, 2048)), jnp.asarray([500.0]))
+    np.testing.assert_allclose(
+        np.asarray(apply_mmdit(params, TINY_SD3, *args)),
+        np.asarray(apply_mmdit(jax.device_put(back), TINY_SD3, *args)),
+        atol=1e-5,
+    )
