@@ -32,32 +32,49 @@ _COL_PARENTS = {"q", "k", "v", "fc1", "query_proj", "key_proj", "value_proj", "w
 _ROW_PARENTS = {"o", "fc2", "out_proj", "wo"}
 
 
-def _spec_for(path, leaf, axis: str) -> P:
+# Weight-only-quantized leaves (ops/quantized.py): q4 (in/8, out),
+# q8 (in, out), scales/zeros (in/groups, out) — all share the kernel's
+# (in, out) axis meaning, so the same column/row placement applies.
+_KERNEL_LIKE = {"kernel", "q4", "q8", "scales", "zeros"}
+
+
+def _spec_for(path, leaf, axis: str, axis_size: int) -> P:
     names = [p.key for p in path if hasattr(p, "key")]
     parent = names[-2] if len(names) >= 2 else None
     name = names[-1] if names else None
-    if parent in _COL_PARENTS:
-        if name == "kernel":
-            return P(*([None] * (leaf.ndim - 1) + [axis]))
-        if name == "bias":
-            return P(*([None] * (leaf.ndim - 1) + [axis]))
-    if parent in _ROW_PARENTS and name == "kernel":
-        return P(*([None] * (leaf.ndim - 2) + [axis, None]))
+
+    def spec(dim_from_end: int) -> P:
+        # Replicate anything whose target dim doesn't divide (e.g. a single
+        # quant group); correctness first, GSPMD handles mixed layouts.
+        if leaf.shape[leaf.ndim - dim_from_end] % axis_size != 0:
+            return P()
+        parts = [None] * leaf.ndim
+        parts[leaf.ndim - dim_from_end] = axis
+        return P(*parts)
+
+    if parent in _COL_PARENTS and (name in _KERNEL_LIKE or name == "bias"):
+        return spec(1)
+    if parent in _ROW_PARENTS and name in _KERNEL_LIKE:
+        return spec(2)
     return P()
+
+
+def _shardings(params: Params, mesh: Mesh, axis: str) -> Params:
+    size = mesh.shape[axis]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis, size)),
+        params,
+    )
 
 
 def mmdit_shardings(params: Params, mesh: Mesh, axis: str = "model") -> Params:
     """NamedSharding pytree for MMDiT parameters (tensor parallel)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis)), params
-    )
+    return _shardings(params, mesh, axis)
 
 
 def t5_shardings(params: Params, mesh: Mesh, axis: str = "model") -> Params:
     """Same column/row rules cover T5's projection names."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf, axis)), params
-    )
+    return _shardings(params, mesh, axis)
 
 
 def replicate(params: Params, mesh: Mesh) -> Params:

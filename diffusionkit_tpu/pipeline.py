@@ -218,7 +218,11 @@ class DiffusionPipeline:
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
         use_scan: bool = False,
+        mesh=None,
     ):
+        from .utils import enable_compilation_cache
+
+        enable_compilation_cache()
         # TPUs have no fast fp16 path; w16/a16 select bfloat16 (documented
         # deviation from MLX fp16 for SD3).
         self.dtype = jnp.bfloat16 if w16 else jnp.float32
@@ -232,6 +236,11 @@ class DiffusionPipeline:
         # use_scan: compile the whole denoise schedule as one lax.scan program
         # (fastest; loses true per-iteration timing).
         self.use_scan = use_scan
+        # mesh: jax.sharding.Mesh with ("data", "model") axes. When set, the
+        # MMDiT loads tensor-parallel over the model axis (parallel/sharding
+        # column/row plan); encoders/VAE replicate. New capability vs the
+        # single-device reference (SURVEY.md §2 parallelism accounting).
+        self.mesh = mesh
         self.sampler: FlowSchedule = ModelSamplingDiscreteFlow(shift=shift)
         self.latent_format = SD3LatentFormat()
 
@@ -257,9 +266,19 @@ class DiffusionPipeline:
     # -- model management (reference mlx/__init__.py:107-174) ---------------
 
     def load_mmdit(self):
-        self.mmdit_params, self.mmdit_config = model_io.load_mmdit(
-            self.model_version, self.dtype, self.local_ckpt
-        )
+        if self.mesh is not None:
+            from .parallel import mmdit_shardings, shard_params
+
+            params, self.mmdit_config = model_io.load_mmdit(
+                self.model_version, self.dtype, self.local_ckpt, to_device=False
+            )
+            self.mmdit_params = shard_params(
+                params, mmdit_shardings(params, self.mesh)
+            )
+        else:
+            self.mmdit_params, self.mmdit_config = model_io.load_mmdit(
+                self.model_version, self.dtype, self.local_ckpt
+            )
         if self.quantize_mmdit and self.model_version not in model_io.QUANTIZED_CKPT:
             # int4 weight-only quantisation at load
             # (reference FluxPipeline(quantize_mmdit=True), mlx/__init__.py:605-625).
@@ -633,6 +652,7 @@ class FluxPipeline(DiffusionPipeline):
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
         use_scan: bool = False,
+        mesh=None,
     ):
         super().__init__(
             w16=w16,
@@ -646,6 +666,7 @@ class FluxPipeline(DiffusionPipeline):
             sdpa_impl=sdpa_impl,
             quantize_mmdit=quantize_mmdit,
             use_scan=use_scan,
+            mesh=mesh,
         )
         self.sampler = FluxSampler(shift=shift)
         self.latent_format = FluxLatentFormat()

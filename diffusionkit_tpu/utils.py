@@ -114,3 +114,31 @@ def inference_context() -> Dict[str, object]:
         "process_index": jax.process_index(),
         "num_processes": jax.process_count(),
     }
+
+
+_COMPILE_CACHE_SET = False
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    Cold-start matters for serving: large MMDiT programs take minutes to
+    compile. Called automatically by the pipelines; opt out with
+    DIFFUSIONKIT_TPU_COMPILE_CACHE=0 or point it at a shared directory.
+    """
+    global _COMPILE_CACHE_SET
+    if _COMPILE_CACHE_SET:
+        return
+    env = os.environ.get("DIFFUSIONKIT_TPU_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    import jax
+
+    cache_dir = os.path.expanduser(env or "~/.cache/diffusionkit_tpu/xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _COMPILE_CACHE_SET = True
+    except Exception as e:  # pragma: no cover - config name drift
+        get_logger(__name__).debug("compilation cache unavailable: %s", e)

@@ -98,3 +98,27 @@ def test_t5_tp_matches_single_device():
         jax.jit(lambda p, t: apply_t5_encoder(p, t, config))(sharded, tokens)
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_quantized_tp_matches_single_device():
+    """int8-quantized MMDiT under TP sharding == single device (quantized
+    kernel-like leaves get the same column/row placement)."""
+    import dataclasses
+
+    config = dataclasses.replace(TP_SD3, depth_multimodal=2)
+    params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=8)
+    inputs = _mmdit_inputs(config)
+    want = np.asarray(apply_mmdit(params, config, *inputs))
+
+    mesh = create_mesh(2, 4)
+    sh = mmdit_shardings(params, mesh)
+    from jax.sharding import PartitionSpec as P2
+    assert sh["mm_blocks"]["img"]["q"]["q8"].spec == P2(None, None, "model")
+    assert sh["mm_blocks"]["img"]["o"]["q8"].spec == P2(None, "model", None)
+    # A single quant group can't divide the model axis -> replicated.
+    assert sh["mm_blocks"]["img"]["o"]["scales"].spec == P2()
+    sharded = shard_params(params, sh)
+    got = np.asarray(
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))(sharded, *inputs)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
