@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: matmul with fused int4 dequantisation.
+
+The XLA path for weight-only int4 (ops/quantized.py) materialises the
+dequantised bf16 weight in HBM for every matmul — 4x the weight bytes in
+traffic. This kernel keeps weights packed in HBM, streams packed tiles into
+VMEM, unpacks + applies the group affine on the VPU, and feeds the MXU —
+the "dequant-in-kernel" pattern (pallas_guide.md, Quantization Kernels),
+playing the role MLX's fused quantized-matmul Metal kernel plays for the
+reference's 4-bit models (reference model_io.py:728-734).
+
+Layout contract (matches ops/quantized.py):
+  q4     (K/8, N) uint32 — 8 nibbles per word along K, value j at bits [4j,4j+4)
+  scales (K/g, N) f32, zeros (K/g, N) f32, group size g divides the K tile
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_ref,       # (bm, bk) input dtype
+    q_ref,       # (bk/8, bn) uint32
+    s_ref,       # (bk/g, bn) f32
+    z_ref,       # (bk/g, bn) f32
+    o_ref,       # (bm, bn) out dtype
+    acc_ref,     # (bm, bn) f32 scratch
+    *,
+    group_size: int,
+    out_dtype,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[...]
+    bk8, bn = packed.shape
+    # Unpack 8 nibbles/word -> (bk/8, 8, bn) -> (bk, bn).
+    shifts = (jax.lax.broadcasted_iota(jnp.uint32, (1, 8, 1), 1) * 4)
+    vals = (packed[:, None, :] >> shifts) & jnp.uint32(0xF)
+    # Mosaic has no uint32->float cast; values are 0..15 so int32 is safe.
+    q = vals.reshape(bk8 * 8, bn).astype(jnp.int32).astype(jnp.float32)
+    # Per-group affine: each scale row covers group_size consecutive K rows
+    # (broadcast + reshape, the Mosaic-friendly interleaved repeat).
+    gper = s_ref.shape[0]
+    scales = jnp.broadcast_to(
+        s_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    zeros = jnp.broadcast_to(
+        z_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    w = (q * scales + zeros).astype(x_ref.dtype)
+
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bk", "bn", "interpret")
+)
+def int4_matmul(
+    x: jnp.ndarray,
+    q4: jnp.ndarray,
+    scales: jnp.ndarray,
+    zeros: jnp.ndarray,
+    bm: int = 256,
+    bk: int = 512,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[M, N] = x[M, K] @ dequant(q4, scales, zeros); fp32 accumulation.
+
+    M is padded to bm; K and N must divide bk/bn (model dims are multiples of
+    512 for every registry model: hidden 1536/2432/3072, mlp 4x).
+    """
+    m, k = x.shape
+    k8, n = q4.shape
+    assert k8 * 8 == k, (k8, k)
+    groups = scales.shape[0]
+    assert k % groups == 0
+    group_size = k // groups
+    assert bk % group_size == 0 and k % bk == 0 and n % bn == 0, (k, n, bk, bn)
+
+    pad_m = (-m) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = x.shape[0]
+
+    grid = (mp // bm, n // bn, k // bk)
+    gper = bk // group_size
+    out = pl.pallas_call(
+        functools.partial(_kernel, group_size=group_size, out_dtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 2 + k8 * n * 4 + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q4, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    return out[:m]
+
+
+def int4_linear(
+    p, x: jnp.ndarray, bm: int = 256, bk: int = 512, bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply an int4-quantized linear param dict via the Pallas kernel.
+
+    x: (..., K) -> (..., N). Falls back conditions are handled by the caller
+    (ops/quantized.quantized_linear dispatches here when shapes qualify).
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = int4_matmul(
+        x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
+    )
+    y = y.reshape(*lead, y.shape[-1])
+    if p.get("bias") is not None:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return y

@@ -99,8 +99,35 @@ def _dequant(p: Params, dtype) -> jnp.ndarray:
     return (q * scales + zeros).astype(dtype)
 
 
+def _int4_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
+    import os
+
+    if "q4" not in p or os.environ.get("DIFFUSIONKIT_TPU_INT4_KERNEL", "1") == "0":
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    k = x.shape[-1]
+    n = p["q4"].shape[-1]
+    groups = p["scales"].shape[-2]
+    return k % 512 == 0 and n % 512 == 0 and 512 % (k // groups) == 0
+
+
 def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ dequant(W) (+ bias), fp32 accumulation on the MXU."""
+    """y = x @ dequant(W) (+ bias), fp32 accumulation on the MXU.
+
+    On TPU, int4 params with kernel-friendly shapes route through the Pallas
+    fused dequant-matmul (ops/int4_matmul.py) so packed weights stream
+    straight from HBM; otherwise dequantise in-jit and use a plain dot.
+    """
+    if _int4_kernel_eligible(p, x):
+        from .int4_matmul import int4_linear
+
+        return int4_linear(p, x)
     w = _dequant(p, x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if p.get("bias") is not None:

@@ -290,8 +290,10 @@ class DiffusionPipeline:
         if self.mmdit_params is None:
             self.load_mmdit()
         if self.decoder_params is None:
+            # VAE in the weight dtype (reference runs the fp16 VAE under w16,
+            # model_io.py:858-888); GroupNorm statistics stay fp32 either way.
             self.decoder_params = model_io.load_vae_decoder(
-                self.model_version, jnp.float32, self.local_ckpt
+                self.model_version, self.dtype, self.local_ckpt
             )
         if self.clip_l is None:
             self.clip_l, self.clip_l_config = model_io.load_text_encoder("clip_l", self.dtype)
@@ -345,6 +347,19 @@ class DiffusionPipeline:
             t5_cond = apply_t5_encoder(
                 self.t5_params, jnp.asarray(tokens_t5), self.t5_config
             ).astype(conditioning.dtype)
+            if t5_cond.shape[-1] < conditioning.shape[-1]:
+                # d_model < 4096 only for reduced test models; real T5-XXL
+                # emits 4096 exactly (reference mlx/__init__.py:239-249).
+                t5_cond = jnp.concatenate(
+                    [
+                        t5_cond,
+                        jnp.zeros(
+                            (*t5_cond.shape[:-1], conditioning.shape[-1] - t5_cond.shape[-1]),
+                            t5_cond.dtype,
+                        ),
+                    ],
+                    axis=-1,
+                )
         else:
             t5_cond = jnp.zeros_like(conditioning)
         conditioning = jnp.concatenate([conditioning, t5_cond], axis=1)
@@ -473,7 +488,9 @@ class DiffusionPipeline:
 
     def decode_latents_to_image(self, x_t: jnp.ndarray) -> jnp.ndarray:
         return _decode_step(
-            self.decoder_params, x_t.astype(jnp.float32), self.decoder_config
+            self.decoder_params,
+            x_t.astype(self.activation_dtype),
+            self.decoder_config,
         )
 
     def read_image(self, image_path: str) -> jnp.ndarray:
@@ -492,7 +509,7 @@ class DiffusionPipeline:
     def encode_image_to_latents(self, image_path: str, seed: int) -> jnp.ndarray:
         if self.encoder_params is None:
             self.encoder_params = model_io.load_vae_encoder(
-                self.model_version, jnp.float32, self.local_ckpt
+                self.model_version, self.dtype, self.local_ckpt
             )
         image = self.read_image(image_path)
         # Noise drawn with the same seed as the denoise loop — matches the

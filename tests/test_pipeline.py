@@ -298,3 +298,18 @@ def test_memory_log_json_serializable(tmp_path):
     with open(p) as f:
         back = json.load(f)
     assert set(back) >= {"text_encoding", "denoising", "decoding", "peak_memory", "total_time"}
+
+
+def test_sd3_with_t5_conditioning():
+    """SD3 + T5: token-level T5 embeddings replace the zero block
+    (reference mlx/__init__.py:239-249)."""
+    pipe = build_sd3_pipeline(use_t5=True)
+    cond, pooled = pipe.encode_text("hello", cfg_weight=5.0, negative_text="x")
+    assert cond.shape == (2, 32, 4096)
+    # The T5 half (rows 16:) is non-zero now (but zero beyond d_model=8).
+    t5_block = np.asarray(cond[:, 16:, :8])
+    assert not np.allclose(t5_block, 0)
+    img, _ = pipe.generate_image(
+        "hello", num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seed=4, verbose=False
+    )
+    assert img.size == (64, 64)

@@ -85,3 +85,17 @@ def test_quantize_tree_mmdit_forward():
     assert got.shape == want.shape
     # int8 with tiny groups: outputs track closely.
     assert np.abs(got - want).mean() < 0.1 * (np.abs(want).mean() + 1e-3)
+
+
+def test_int4_pallas_kernel_interpret_matches_xla():
+    """Fused dequant-matmul kernel (interpret mode) vs the in-jit dequant."""
+    from diffusionkit_tpu.ops.int4_matmul import int4_linear
+
+    rs = np.random.RandomState(3)
+    w = rs.randn(512, 512).astype(np.float32) * 0.05
+    x = jnp.asarray(rs.randn(2, 70, 512).astype(np.float32))
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(512).astype(np.float32))
+    want = np.asarray(quantized_linear(p, x))  # CPU: xla dequant path
+    got = np.asarray(int4_linear(p, x, bm=128, bk=256, bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
