@@ -10,8 +10,8 @@ modulation-cache offload) are dropped.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

@@ -27,7 +27,6 @@ Raw-checkpoint facts honoured here (with reference evidence):
 from __future__ import annotations
 
 import json
-import math
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple, Union
@@ -37,8 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import (
-    CLIP_G,
-    CLIP_L,
     FLUX_DEV,
     FLUX_SCHNELL,
     SD3_2b,

@@ -8,7 +8,7 @@ hidden state (reference mlx/__init__.py:217).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Parameter layout per conv: {"kernel": (kh, kw, in, out), "bias": (out,)}.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ maps straight onto the MXU; checkpoint loaders transpose from the torch/MLX
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

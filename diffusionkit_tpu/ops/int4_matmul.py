@@ -16,7 +16,6 @@ Layout contract (matches ops/quantized.py):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -127,17 +126,32 @@ def int4_matmul(
     return out[:m]
 
 
+def _largest_divisor_block(dim: int, floor: int, cap: int = 1024) -> int:
+    b = cap
+    while b >= floor:
+        if dim % b == 0:
+            return b
+        b //= 2
+    return 0
+
+
 def int4_linear(
-    p, x: jnp.ndarray, bm: int = 256, bk: int = 512, bn: int = 512,
+    p, x: jnp.ndarray, bm: int = 256, bk: int = 0, bn: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Apply an int4-quantized linear param dict via the Pallas kernel.
 
-    x: (..., K) -> (..., N). Falls back conditions are handled by the caller
-    (ops/quantized.quantized_linear dispatches here when shapes qualify).
+    x: (..., K) -> (..., N). bk/bn default to the largest power-of-two block
+    (<=512) dividing each dim, so non-power-of-two hiddens (SD3.5's 2432)
+    still qualify. Eligibility is checked by the caller
+    (ops/quantized.quantized_linear).
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
+    n = p["q4"].shape[-1]
+    group = k // p["scales"].shape[-2]
+    bk = bk or max(_largest_divisor_block(k, group, 512), group)
+    bn = bn or _largest_divisor_block(n, 128, 512)
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
         bm=bm, bk=bk, bn=bn, interpret=interpret,

@@ -22,7 +22,7 @@ only array leaves — required for lax.scan over stacked quantized blocks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -111,10 +111,13 @@ def _int4_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
+    from .int4_matmul import _largest_divisor_block
+
     k = x.shape[-1]
     n = p["q4"].shape[-1]
-    groups = p["scales"].shape[-2]
-    return k % 512 == 0 and n % 512 == 0 and 512 % (k // groups) == 0
+    group = k // p["scales"].shape[-2]
+    bk = _largest_divisor_block(k, group, 512)
+    return bk >= 128 and bk % group == 0 and _largest_divisor_block(n, 128, 512) >= 128
 
 
 def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:

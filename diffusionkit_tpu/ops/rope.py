@@ -14,7 +14,6 @@ head dimension.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

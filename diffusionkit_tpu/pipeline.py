@@ -25,7 +25,6 @@ are comparable pixel-wise across frameworks.
 from __future__ import annotations
 
 import gc
-import math
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -303,6 +302,12 @@ class DiffusionPipeline:
             self.tokenizer_g = model_io.load_tokenizer("g", pad_with_eos=False)
         if self.use_t5 and self.t5_params is None:
             self.t5_params = model_io.load_t5_encoder(self.dtype)
+            if self.mesh is not None:
+                from .parallel import shard_params, t5_shardings
+
+                self.t5_params = shard_params(
+                    self.t5_params, t5_shardings(self.t5_params, self.mesh)
+                )
             self.t5_tokenizer = model_io.load_t5_tokenizer(
                 model_io.T5_MAX_LENGTH[self.model_version]
             )
