@@ -4,9 +4,10 @@ TPU-native replacement for ``mx.fast.scaled_dot_product_attention`` and its
 memory-efficient threshold path (reference mmdit.py:19,562,636-639,687,729-732).
 Non-causal full attention with online softmax: the (S, S) score matrix is
 never materialised in HBM; each q tile streams kv tiles through VMEM and
-keeps fp32 running (max, denominator, accumulator) scratch. Block sizes default
-to 512 (measured ~35% faster than XLA SDPA at the FLUX 1024x1024 joint
-sequence s=4608, d=128 on v5e; smaller blocks gave no advantage).
+keeps fp32 running (max, denominator, accumulator) scratch. Default blocks
+(q 512, kv 1024) won an in-graph sweep on v5e: 12.7 ms vs 26.4 ms XLA SDPA
+at the FLUX 1024^2 joint sequence (s=4608, d=128), and ties XLA at the SD3
+512^2 shape (s=1178, d=64).
 
 The joint sequence length (image tokens + text tokens, e.g. 4096 + 154 for
 SD3 at 1024x1024) is rarely a multiple of the kv tile, so inputs are padded to
@@ -99,7 +100,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float,
     q_blk: int = 512,
-    kv_blk: int = 512,
+    kv_blk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full (non-causal) attention over (B, H, S, D) inputs.

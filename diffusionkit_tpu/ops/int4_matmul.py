@@ -150,8 +150,9 @@ def int4_linear(
     k = x.shape[-1]
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
-    bk = bk or max(_largest_divisor_block(k, group, 512), group)
-    bn = bn or _largest_divisor_block(n, 128, 512)
+    # Sweep on v5e (4352x3072x12288): bk/bn 1024 beats 512 by ~20%.
+    bk = bk or max(_largest_divisor_block(k, group, 1024), group)
+    bn = bn or _largest_divisor_block(n, 128, 1024)
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
         bm=bm, bk=bk, bn=bn, interpret=interpret,
