@@ -101,7 +101,11 @@ def _t5_layer(lp: Params, x: jnp.ndarray, bias: jnp.ndarray, config: T5Config) -
     y = rms_norm(x, lp["ln1"]["weight"], config.layer_norm_epsilon).astype(wdtype)
     x = x + _t5_attention(lp, y, bias, config).astype(jnp.float32)
     y = rms_norm(x, lp["ln2"]["weight"], config.layer_norm_epsilon).astype(wdtype)
-    h = jax.nn.gelu(linear(lp["wi_0"], y), approximate=False) * linear(lp["wi_1"], y)
+    # t5-v1_1 "gated-gelu" is HF's NewGELU (tanh approximation) — verified
+    # against transformers.T5EncoderModel in tests/test_hf_parity.py. (The
+    # reference uses exact-erf gelu here, t5.py:181 — a fidelity deviation
+    # from the checkpoint's training behaviour that we do not reproduce.)
+    h = jax.nn.gelu(linear(lp["wi_0"], y), approximate=True) * linear(lp["wi_1"], y)
     return x + linear(lp["wo"], h).astype(jnp.float32)
 
 

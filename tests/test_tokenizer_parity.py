@@ -1,0 +1,85 @@
+"""CLIP BPE tokenizer parity vs transformers.CLIPTokenizer (offline).
+
+Synthesises a small vocab.json + merges.txt, loads both tokenizers from the
+same files, and compares token ids. Oracle for the independent BPE
+implementation in diffusionkit_tpu/tokenizer.py (reference
+tokenizer.py:14-121 is "a simple port" of the same HF algorithm).
+"""
+
+import json
+
+import pytest
+
+from diffusionkit_tpu.tokenizer import BOS, EOS, CLIPTokenizer
+
+
+@pytest.fixture(scope="module")
+def vocab_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clipvocab")
+    chars = list("abcdefghijklmnopqrstuvwxyz.,!0123456789")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("a", "t</w>"), ("c", "a"),
+        ("ca", "t</w>"), ("d", "o"), ("do", "g</w>"), ("i", "n"),
+        ("in", "g</w>"), ("t", "i"), ("ti", "n"), ("o", "n</w>"),
+    ]
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab[BOS] = len(vocab)
+    vocab[EOS] = len(vocab)
+    vocab_path = d / "vocab.json"
+    merges_path = d / "merges.txt"
+    with open(vocab_path, "w") as f:
+        json.dump(vocab, f)
+    with open(merges_path, "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    return str(vocab_path), str(merges_path)
+
+
+PROMPTS = [
+    "the cat",
+    "a dog in the.",
+    "cat, dog! the thing",
+    "tin on a cat 42",
+    "THE CAT",  # case folding
+    "the   cat",  # whitespace collapsing
+]
+
+
+def test_bpe_matches_transformers(vocab_files):
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    vocab_path, merges_path = vocab_files
+    hf = HFCLIPTokenizer(
+        vocab_path, merges_path, bos_token=BOS, eos_token=EOS,
+        unk_token=EOS, pad_token=EOS,
+    )
+    ours = CLIPTokenizer.from_files(vocab_path, merges_path)
+    for text in PROMPTS:
+        want = hf(text)["input_ids"]
+        got = ours.tokenize(text)
+        assert got == want, (text, got, want)
+
+
+def test_truncation_matches_transformers(vocab_files):
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    vocab_path, merges_path = vocab_files
+    hf = HFCLIPTokenizer(
+        vocab_path, merges_path, bos_token=BOS, eos_token=EOS,
+        unk_token=EOS, pad_token=EOS, model_max_length=10,
+    )
+    ours = CLIPTokenizer.from_files(vocab_path, merges_path)
+    ours.max_length = 10
+    text = "the cat the dog the cat the dog the cat"
+    want = hf(text, truncation=True, max_length=10)["input_ids"]
+    got = ours.tokenize(text)
+    assert got == want
