@@ -62,6 +62,11 @@ def tree_index(tree: Params, i: int) -> Params:
     return jax.tree.map(lambda a: a[i], tree)
 
 
+def _upcast_leaf(a: jnp.ndarray) -> jnp.ndarray:
+    """fp32-upcast for mixed trees: floats only (quantized ints untouched)."""
+    return a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+
 def _segments(n: int, upcast: Tuple[int, ...]) -> List[Tuple[int, int, bool]]:
     """Split [0, n) into maximal runs of same-precision blocks."""
     out: List[Tuple[int, int, bool]] = []
@@ -309,7 +314,9 @@ def apply_mmdit(
         seg = tree_slice(params["mm_blocks"], start, end)
         if upcast:
             # fp32 block (reference config.py:37, SD3.5-large block 35).
-            seg32 = jax.tree.map(lambda a: a.astype(jnp.float32), seg)
+            # Only float leaves are cast — packed quantized weights (uint32
+            # q4 / uint8 q8) must pass through untouched.
+            seg32 = jax.tree.map(_upcast_leaf, seg)
             for i in range(end - start):
                 (ximg, xtxt), _ = mm_body(
                     (x.astype(jnp.float32), txt.astype(jnp.float32)),
@@ -338,7 +345,7 @@ def apply_mmdit(
         ):
             seg = tree_slice(params["uni_blocks"], start, end)
             if upcast:
-                seg32 = jax.tree.map(lambda a: a.astype(jnp.float32), seg)
+                seg32 = jax.tree.map(_upcast_leaf, seg)
                 for i in range(end - start):
                     u32, _ = uni_body(u.astype(jnp.float32), tree_index(seg32, i))
                     u = u32.astype(dtype)

@@ -135,6 +135,20 @@ def _largest_divisor_block(dim: int, floor: int, cap: int = 1024) -> int:
     return 0
 
 
+def pick_k_block(k: int, group: int, cap: int = 1024, max_full_k: int = 8192) -> int:
+    """K block honouring Mosaic's sublane rule: the scales block (bk/g, bn)
+    needs bk/g % 8 == 0, or bk == K (full-array spec). 0 = ineligible."""
+    b = cap
+    while b >= group * 8:
+        if k % b == 0 and (b // group) % 8 == 0:
+            return b
+        b //= 2
+    # Non-power-of-two K (e.g. SD3.5's 2432): single whole-K block.
+    if k <= max_full_k and (k // 8) % 8 == 0:
+        return k
+    return 0
+
+
 def int4_linear(
     p, x: jnp.ndarray, bm: int = 256, bk: int = 0, bn: int = 0,
     interpret: bool = False,
@@ -151,8 +165,12 @@ def int4_linear(
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
     # Sweep on v5e (4352x3072x12288): bk/bn 1024 beats 512 by ~20%.
-    bk = bk or max(_largest_divisor_block(k, group, 1024), group)
+    bk = bk or pick_k_block(k, group)
     bn = bn or _largest_divisor_block(n, 128, 1024)
+    # VMEM guard: the unpacked int32 + dequantised fp32 weight temporaries
+    # are ~8 bytes per (bk, bn) element; keep them under ~6 MB.
+    while bk * bn * 8 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
+        bn //= 2
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
         bm=bm, bk=bk, bn=bn, interpret=interpret,

@@ -111,13 +111,12 @@ def _int4_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
-    from .int4_matmul import _largest_divisor_block
+    from .int4_matmul import _largest_divisor_block, pick_k_block
 
     k = x.shape[-1]
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
-    bk = _largest_divisor_block(k, group, 512)
-    return bk >= 128 and bk % group == 0 and _largest_divisor_block(n, 128, 512) >= 128
+    return pick_k_block(k, group) > 0 and _largest_divisor_block(n, 128, 1024) >= 128
 
 
 def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -198,7 +198,11 @@ class DiffusionPipeline:
     Keeps the reference's public surface: ``generate_image(text, num_steps,
     cfg_weight, negative_text, latent_size, seed, verbose, image_path,
     denoise)``, plus ``encode_text`` / ``denoise_latents`` /
-    ``decode_latents_to_image`` phase methods.
+    ``decode_latents_to_image`` phase methods. Keyword defaults differ
+    deliberately from the reference (reference mlx/__init__.py:64-73:
+    w16=False, shift=1.0, a16=False): here w16/a16 default True (bf16 — the
+    TPU-native dtype, which the reference CLI forces anyway) and shift=3.0
+    (the SD3 production schedule).
     """
 
     clip_g_needed = True

@@ -99,3 +99,21 @@ def test_int4_pallas_kernel_interpret_matches_xla():
     want = np.asarray(quantized_linear(p, x))  # CPU: xla dequant path
     got = np.asarray(int4_linear(p, x, bm=128, bk=256, bn=256, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_quantized_upcast_block_forward():
+    """SD3.5-style fp32-upcast blocks must skip packed quantized leaves."""
+    import dataclasses
+
+    config = MMDiTConfig(
+        depth_multimodal=3, num_heads=2, hidden_size_override=64,
+        max_latent_resolution=16, upcast_multimodal_blocks=(1,),
+        use_qk_norm=True, dtype=jnp.float32,
+    )
+    params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+    out = apply_mmdit(
+        params, config,
+        jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 7, 4096)),
+        jnp.zeros((1, 2048)), jnp.asarray([500.0]),
+    )
+    assert jnp.isfinite(out).all()
