@@ -269,25 +269,24 @@ class DiffusionPipeline:
     # -- model management (reference mlx/__init__.py:107-174) ---------------
 
     def load_mmdit(self):
-        if self.mesh is not None:
-            from .parallel import mmdit_shardings, shard_params
-
-            params, self.mmdit_config = model_io.load_mmdit(
-                self.model_version, self.dtype, self.local_ckpt, to_device=False
-            )
-            self.mmdit_params = shard_params(
-                params, mmdit_shardings(params, self.mesh)
-            )
-        else:
-            self.mmdit_params, self.mmdit_config = model_io.load_mmdit(
-                self.model_version, self.dtype, self.local_ckpt
-            )
+        params, self.mmdit_config = model_io.load_mmdit(
+            self.model_version, self.dtype, self.local_ckpt,
+            to_device=self.mesh is None and not self.quantize_mmdit,
+        )
         if self.quantize_mmdit and self.model_version not in model_io.QUANTIZED_CKPT:
-            # int4 weight-only quantisation at load
+            # int4 weight-only quantisation at load, on the host tree BEFORE
+            # device placement/sharding
             # (reference FluxPipeline(quantize_mmdit=True), mlx/__init__.py:605-625).
             from .ops.quantized import quantize_tree
 
-            self.mmdit_params = quantize_tree(self.mmdit_params, bits=4)
+            params = quantize_tree(params, bits=4)
+        if self.mesh is not None:
+            from .parallel import mmdit_shardings, shard_params
+
+            params = shard_params(params, mmdit_shardings(params, self.mesh))
+        elif self.quantize_mmdit:
+            params = jax.device_put(params)
+        self.mmdit_params = params
 
     def check_and_load_models(self):
         if self.mmdit_params is None:
