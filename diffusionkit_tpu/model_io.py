@@ -189,7 +189,15 @@ def hub_download(repo: str, filename: str) -> str:
     """hf_hub_download with a clear offline error (reference model_io.py:723)."""
     from huggingface_hub import hf_hub_download
 
-    return hf_hub_download(repo, filename)
+    try:
+        return hf_hub_download(repo, filename)
+    except Exception as e:
+        raise RuntimeError(
+            f"Could not fetch {repo}/{filename} from the HF Hub ({type(e).__name__}). "
+            "If this host has no network access, mirror the checkpoints locally "
+            "and set DIFFUSIONKIT_TPU_CKPT_DIR=<root> (layout: <repo-id>/<file>), "
+            "or pass local_ckpt=/--local-ckpt for the MMDiT file."
+        ) from e
 
 
 # ---------------------------------------------------------------------------

@@ -413,10 +413,13 @@ class DiffusionPipeline:
         else:
             x_T = self.encode_image_to_latents(image_path, seed=seed)
             x_T = self.latent_format.process_in(x_T)
-        noise = self.get_noise(seed, x_T)
         if num_images > 1:
             x_T = jnp.tile(x_T, (num_images, 1, 1, 1))
-            noise = jnp.tile(noise, (num_images, 1, 1, 1))
+        # Noise drawn for the whole batch in one seeded call: image 0's noise
+        # is bit-identical to the num_images=1 case (numpy fills C-order), so
+        # fixed-seed parity with the reference holds while every additional
+        # image gets fresh noise.
+        noise = self.get_noise(seed, x_T)
 
         sigmas = self.get_sigmas(num_steps)[int(num_steps * (1 - denoise)) :]
         noise_scaled = jnp.asarray(
