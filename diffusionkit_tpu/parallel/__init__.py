@@ -6,3 +6,4 @@ from .sharding import (  # noqa: F401
     shard_params,
     t5_shardings,
 )
+from .ring_attention import ring_attention  # noqa: F401

@@ -519,8 +519,9 @@ class DiffusionPipeline:
 
     def encode_image_to_latents(self, image_path: str, seed: int) -> jnp.ndarray:
         if self.encoder_params is None:
+            # Encoder always fp32 (reference mlx/__init__.py:116: float16=False).
             self.encoder_params = model_io.load_vae_encoder(
-                self.model_version, self.dtype, self.local_ckpt
+                self.model_version, jnp.float32, self.local_ckpt
             )
         image = self.read_image(image_path)
         # Noise drawn with the same seed as the denoise loop — matches the

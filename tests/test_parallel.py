@@ -122,3 +122,43 @@ def test_quantized_tp_matches_single_device():
         jax.jit(lambda p, *a: apply_mmdit(p, config, *a))(sharded, *inputs)
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_sequence_parallel_attention():
+    """Context parallelism: query sequence sharded over the model axis; XLA
+    gathers K/V. (SURVEY.md §5 long-context: an extension beyond the
+    single-device reference.)"""
+    from diffusionkit_tpu.ops.attention import xla_sdpa
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(1, 4, 512, 32), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 4, 512, 32), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 4, 512, 32), jnp.float32)
+    want = np.asarray(xla_sdpa(q, k, v, 32**-0.5))
+
+    mesh = create_mesh(1, 8)
+    seq_sharding = NamedSharding(mesh, P(None, None, "model", None))
+    qs = jax.device_put(q, seq_sharding)
+    ks = jax.device_put(k, seq_sharding)
+    vs = jax.device_put(v, seq_sharding)
+    fn = jax.jit(lambda a, b, c: xla_sdpa(a, b, c, 32**-0.5),
+                 out_shardings=seq_sharding)
+    got = np.asarray(fn(qs, ks, vs))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_ring_attention_matches_full():
+    """Ring attention (shard_map + ppermute online softmax) == full SDPA."""
+    from diffusionkit_tpu.ops.attention import xla_sdpa
+    from diffusionkit_tpu.parallel.ring_attention import ring_attention
+
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(2, 3, 256, 32), jnp.float32)
+    k = jnp.asarray(rs.randn(2, 3, 256, 32), jnp.float32)
+    v = jnp.asarray(rs.randn(2, 3, 256, 32), jnp.float32)
+    scale = 32**-0.5
+    want = np.asarray(xla_sdpa(q, k, v, scale))
+
+    mesh = create_mesh(1, 8)
+    got = np.asarray(ring_attention(q, k, v, scale, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
