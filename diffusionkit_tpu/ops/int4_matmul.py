@@ -179,3 +179,102 @@ def int4_linear(
     if p.get("bias") is not None:
         y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: same tiling, no nibble unpack (q8 (K, N) uint8).
+# NOTE: an 8B int8 model (9.3 GB packed) compiles to a ~17 GB HBM plan on a
+# 16 GB v5e (XLA adds layout copies for the stacked uint8 weights), so int8
+# serving targets v5p/multi-chip; int4 is the single-v5e configuration.
+# ---------------------------------------------------------------------------
+
+
+def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtype):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...].astype(jnp.int32).astype(jnp.float32)  # (bk, bn)
+    gper, bn = s_ref.shape
+    scales = jnp.broadcast_to(
+        s_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    zeros = jnp.broadcast_to(
+        z_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    w = (q * scales + zeros).astype(x_ref.dtype)
+    acc_ref[...] += jax.lax.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+def int8_matmul(
+    x: jnp.ndarray,
+    q8: jnp.ndarray,
+    scales: jnp.ndarray,
+    zeros: jnp.ndarray,
+    bm: int = 256,
+    bk: int = 512,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = x @ dequant(q8); fused group-affine dequant, fp32 accumulation."""
+    m, k = x.shape
+    _, n = q8.shape
+    groups = scales.shape[0]
+    group_size = k // groups
+    assert bk % group_size == 0 and k % bk == 0 and n % bn == 0, (k, n, bk, bn)
+    pad_m = (-m) % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = x.shape[0]
+    gper = bk // group_size
+    out = pl.pallas_call(
+        functools.partial(_kernel8, group_size=group_size, out_dtype=x.dtype),
+        grid=(mp // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 2 + k * n + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q8, scales.astype(jnp.float32), zeros.astype(jnp.float32))
+    return out[:m]
+
+
+def int8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Apply an int8-quantized linear param dict via the Pallas kernel."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = p["q8"].shape[-1]
+    group = k // p["scales"].shape[-2]
+    bk = pick_k_block(k, group)
+    bn = _largest_divisor_block(n, 128, 1024)
+    while bk * bn * 8 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
+        bn //= 2
+    y = int8_matmul(
+        x.reshape(-1, k), p["q8"], p["scales"], p["zeros"],
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
+    )
+    y = y.reshape(*lead, n)
+    if p.get("bias") is not None:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    return y

@@ -99,10 +99,10 @@ def _dequant(p: Params, dtype) -> jnp.ndarray:
     return (q * scales + zeros).astype(dtype)
 
 
-def _int4_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
+def _quant_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
     import os
 
-    if "q4" not in p or os.environ.get("DIFFUSIONKIT_TPU_INT4_KERNEL", "1") == "0":
+    if os.environ.get("DIFFUSIONKIT_TPU_INT4_KERNEL", "1") == "0":
         return False
     try:
         import jax
@@ -114,7 +114,7 @@ def _int4_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
     from .int4_matmul import _largest_divisor_block, pick_k_block
 
     k = x.shape[-1]
-    n = p["q4"].shape[-1]
+    n = (p["q4"] if "q4" in p else p["q8"]).shape[-1]
     group = k // p["scales"].shape[-2]
     return pick_k_block(k, group) > 0 and _largest_divisor_block(n, 128, 1024) >= 128
 
@@ -126,10 +126,14 @@ def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     fused dequant-matmul (ops/int4_matmul.py) so packed weights stream
     straight from HBM; otherwise dequantise in-jit and use a plain dot.
     """
-    if _int4_kernel_eligible(p, x):
-        from .int4_matmul import int4_linear
+    if _quant_kernel_eligible(p, x):
+        if "q4" in p:
+            from .int4_matmul import int4_linear
 
-        return int4_linear(p, x)
+            return int4_linear(p, x)
+        from .int4_matmul import int8_linear
+
+        return int8_linear(p, x)
     w = _dequant(p, x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if p.get("bias") is not None:

@@ -117,3 +117,17 @@ def test_quantized_upcast_block_forward():
         jnp.zeros((1, 2048)), jnp.asarray([500.0]),
     )
     assert jnp.isfinite(out).all()
+
+
+def test_int8_pallas_kernel_interpret_matches_xla():
+    from diffusionkit_tpu.ops.int4_matmul import int8_linear
+    from diffusionkit_tpu.ops.quantized import _dequant
+
+    rs = np.random.RandomState(5)
+    w = rs.randn(512, 512).astype(np.float32) * 0.05
+    x = jnp.asarray(rs.randn(3, 33, 512).astype(np.float32))
+    p = quantize_kernel_host(w, bits=8, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(512).astype(np.float32))
+    want = np.asarray(x) @ np.asarray(_dequant(p, jnp.float32)) + np.asarray(p["bias"])
+    got = np.asarray(int8_linear(p, x, bm=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
