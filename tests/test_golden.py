@@ -23,10 +23,22 @@ TEST_PSNR_THRESHOLD = 20  # dB (reference test_diffusion_pipeline.py:20)
 _ROOT = os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR")
 _DATASET = Path(_ROOT) / "argmaxinc" / "sd-test-images" if _ROOT else None
 
-pytestmark = pytest.mark.skipif(
-    _DATASET is None or not (_DATASET / "metadata.json").exists(),
-    reason="golden dataset not available (set DIFFUSIONKIT_TPU_CKPT_DIR)",
-)
+def _backend():
+    import jax
+
+    return jax.default_backend()
+
+
+pytestmark = [
+    pytest.mark.skipif(
+        _DATASET is None or not (_DATASET / "metadata.json").exists(),
+        reason="golden dataset not available (set DIFFUSIONKIT_TPU_CKPT_DIR)",
+    ),
+    pytest.mark.skipif(
+        "jax" in __import__("sys").modules and _backend() == "cpu",
+        reason="full-size models need the TPU; run `python tests/test_golden.py`",
+    ),
+]
 
 
 def _examples():
@@ -66,3 +78,14 @@ def test_pipeline_correctness_golden_images():
             f"for prompt {example['prompt']!r}"
         )
         del pipe
+
+
+if __name__ == "__main__":
+    # Standalone TPU runner (pytest's conftest forces the CPU mesh; the
+    # reference likewise runs its golden test as a script,
+    # tests/mlx/test_diffusion_pipeline.py:148-211).
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    test_pipeline_correctness_golden_images()
+    print("GOLDEN OK")
