@@ -173,6 +173,13 @@ def _denoise_scan(
     return x
 
 
+# Jitted text-encoder steps: without jit the per-layer ops dispatch eagerly
+# (hundreds of host round-trips — measured 2.5 s/prompt on the relay vs ~30 ms
+# compiled).
+_clip_step = partial(jax.jit, static_argnames=("config",))(apply_clip)
+_t5_step = partial(jax.jit, static_argnames=("config",))(apply_t5_encoder)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _decode_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
     x = apply_vae_decoder(params, latents, config)
@@ -338,8 +345,8 @@ class DiffusionPipeline:
         neg = negative_text if cfg_weight > 1 else None
         tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
         tokens_g = tokenize_batch(self.tokenizer_g, text, neg)
-        out_l = apply_clip(self.clip_l, jnp.asarray(tokens_l), self.clip_l_config)
-        out_g = apply_clip(self.clip_g, jnp.asarray(tokens_g), self.clip_g_config)
+        out_l = _clip_step(self.clip_l, jnp.asarray(tokens_l), config=self.clip_l_config)
+        out_g = _clip_step(self.clip_g, jnp.asarray(tokens_g), config=self.clip_g_config)
         # Penultimate hidden states, concat to 2048, zero-pad to 4096
         # (reference mlx/__init__.py:216-237).
         conditioning = jnp.concatenate(
@@ -352,8 +359,8 @@ class DiffusionPipeline:
         )
         if self.use_t5:
             tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
-            t5_cond = apply_t5_encoder(
-                self.t5_params, jnp.asarray(tokens_t5), self.t5_config
+            t5_cond = _t5_step(
+                self.t5_params, jnp.asarray(tokens_t5), config=self.t5_config
             ).astype(conditioning.dtype)
             if t5_cond.shape[-1] < conditioning.shape[-1]:
                 # d_model < 4096 only for reduced test models; real T5-XXL
@@ -705,14 +712,14 @@ class FluxPipeline(DiffusionPipeline):
         to the model's max length (reference mlx/__init__.py:642-671)."""
         neg = negative_text if cfg_weight > 1 else None
         tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
-        out_l = apply_clip(self.clip_l, jnp.asarray(tokens_l[:1]), self.clip_l_config)
+        out_l = _clip_step(self.clip_l, jnp.asarray(tokens_l[:1]), config=self.clip_l_config)
         pooled = out_l.pooled_output
 
         tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
         max_len = model_io.T5_MAX_LENGTH[self.model_version]
         padded = np.zeros((1, max_len), dtype=tokens_t5.dtype)
         padded[:, : tokens_t5.shape[1]] = tokens_t5[:1]
-        conditioning = apply_t5_encoder(
-            self.t5_params, jnp.asarray(padded), self.t5_config
+        conditioning = _t5_step(
+            self.t5_params, jnp.asarray(padded), config=self.t5_config
         )
         return conditioning, pooled
