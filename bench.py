@@ -1,19 +1,23 @@
 """Benchmark harness. Prints ONE JSON line with the headline metric.
 
 Default headline (BASELINE.md config 1): SD3-medium (2B MMDiT) 512x512,
-CFG 5.0 — denoise ms/step on one chip, plus derived 50-step s/image and
-images/min/chip. Runs with random-init weights at the exact production
-shapes (performance is independent of weight values).
+CFG 5.0 — denoise ms/step on one chip, plus derived 50-step s/image,
+images/min/chip, and an HONEST MFU computed from branch-weighted analytic
+FLOPs (diffusionkit_tpu/flops.py — a dual-stream block's projections see
+only their own branch's tokens; charging full params against all tokens
+over-counts ~2x at SD3 shapes).
 
 ``BENCH_MODEL=flux-int4`` switches to the BASELINE north-star config:
 FLUX.1-schnell 12B (int4 weight-only so it fits one 16 GB v5e), 4-step
 1024x1024 s/image. That run spends ~10 min in remote compilation, so the
-default stays SD3.
+default stays SD3. ``BENCH_MODEL=sd3-e2e`` measures the full pipeline
+(text encode + scan denoise + VAE decode) against the local checkpoint
+mirror when present.
 
 The reference publishes no benchmark numbers (SURVEY.md §6; BASELINE.json
 ``published: {}``); ``vs_baseline`` is measured against a fixed budget:
-100 ms/step for SD3 (~50%-of-roofline for the 9.4 TFLOP CFG step on v5e),
-2.0 s/image for FLUX (the BASELINE v5p target). >1 means faster than target.
+100 ms/step for SD3, 2.0 s/image for FLUX (the BASELINE v5p target).
+>1 means faster than target.
 """
 
 import json
@@ -40,8 +44,17 @@ def _chain_time(step, x0, n):
     return (time.perf_counter() - t0) / n
 
 
+def _mfu(flops_per_step: float, ms: float):
+    from diffusionkit_tpu.flops import device_peak_flops
+
+    peak = device_peak_flops(str(jax.devices()[0]))
+    achieved = flops_per_step / (ms / 1e3)
+    return round(achieved / 1e12, 1), (round(achieved / peak, 3) if peak else None)
+
+
 def bench_sd3():
     from diffusionkit_tpu.config import SD3_2b
+    from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
     from diffusionkit_tpu.pipeline import _denoise_step
 
@@ -63,6 +76,8 @@ def bench_sd3():
 
     ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
     s_image = ms * 50 / 1000  # 50-step headline config
+    flops = mmdit_step_flops(config, (64, 64), 154, cfg=True)["total"]
+    tflops, mfu = _mfu(flops, ms)
     return {
         "metric": "sd3_medium_512_cfg_denoise_ms_per_step",
         "value": round(ms, 2),
@@ -71,6 +86,9 @@ def bench_sd3():
         "extra": {
             "s_per_image_50step": round(s_image, 3),
             "images_per_min_per_chip": round(60.0 / s_image, 3),
+            "step_tflop": round(flops / 1e12, 2),
+            "achieved_tflops": tflops,
+            "mfu": mfu,
             "timed_steps": NUM_STEPS_TIMED,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
@@ -80,6 +98,7 @@ def bench_sd3():
 
 def bench_flux_int4():
     from diffusionkit_tpu.config import FLUX_SCHNELL
+    from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
     from diffusionkit_tpu.pipeline import _denoise_step
 
@@ -102,6 +121,8 @@ def bench_flux_int4():
     n = max(NUM_STEPS_TIMED // 2, 8)
     ms = _chain_time(step, latent, n) * 1000
     s_image = ms * 4 / 1000  # 4-step schnell
+    flops = mmdit_step_flops(config, (128, 128), 256, cfg=False)["total"]
+    tflops, mfu = _mfu(flops, ms)
     return {
         "metric": "flux_schnell_int4_1024_s_per_image_4step",
         "value": round(s_image, 3),
@@ -109,6 +130,9 @@ def bench_flux_int4():
         "vs_baseline": round(2.0 / s_image, 3),
         "extra": {
             "denoise_ms_per_step": round(ms, 2),
+            "step_tflop": round(flops / 1e12, 2),
+            "achieved_tflops": tflops,
+            "mfu_vs_bf16_peak": mfu,
             "timed_steps": n,
             "weights": "int4 weight-only (12B on one chip)",
             "backend": jax.default_backend(),
@@ -117,10 +141,52 @@ def bench_flux_int4():
     }
 
 
+def bench_sd3_e2e():
+    """Full pipeline p50 on the local full-size checkpoint mirror
+    (tools/make_ckpt_mirror.py): text encode + scan denoise + VAE decode."""
+    mirror = os.environ.get(
+        "DIFFUSIONKIT_TPU_CKPT_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".ckpt_mirror"),
+    )
+    if not os.path.isdir(mirror):
+        raise SystemExit(f"no checkpoint mirror at {mirror}")
+    os.environ["DIFFUSIONKIT_TPU_CKPT_DIR"] = mirror
+    from diffusionkit_tpu.pipeline import DiffusionPipeline
+
+    pipe = DiffusionPipeline(
+        model_version="argmaxinc/mlx-stable-diffusion-3-medium",
+        use_t5=False, low_memory_mode=False, use_scan=True,
+    )
+    prompts = ["a cat", "a dog on a beach", "an astronaut riding a horse"]
+    # warmup/compile
+    pipe.generate_image(prompts[0], num_steps=50, cfg_weight=5.0,
+                        latent_size=(64, 64), seed=0, verbose=False)
+    times = []
+    for i, prompt in enumerate(prompts):
+        t0 = time.perf_counter()
+        img, _ = pipe.generate_image(prompt, num_steps=50, cfg_weight=5.0,
+                                     latent_size=(64, 64), seed=i, verbose=False)
+        np.asarray(img)
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    return {
+        "metric": "sd3_medium_512_50step_e2e_s_per_image_p50",
+        "value": round(p50, 3),
+        "unit": "s",
+        "vs_baseline": round(5.0 / p50, 3),  # budget: 100 ms/step * 50
+        "extra": {
+            "runs": [round(t, 3) for t in times],
+            "use_scan": True,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def main():
     mode = os.environ.get("BENCH_MODEL", "sd3")
-    result = bench_flux_int4() if mode == "flux-int4" else bench_sd3()
-    print(json.dumps(result))
+    fn = {"flux-int4": bench_flux_int4, "sd3-e2e": bench_sd3_e2e}.get(mode, bench_sd3)
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _SO_PATH.exists() and not _build():
+    src = _NATIVE_DIR / "dkio.cpp"
+    stale = (
+        _SO_PATH.exists()
+        and src.exists()
+        and _SO_PATH.stat().st_mtime < src.stat().st_mtime
+    )
+    if (not _SO_PATH.exists() or stale) and not _build() and not _SO_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_SO_PATH))

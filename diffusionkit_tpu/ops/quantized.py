@@ -78,6 +78,30 @@ def quantize_kernel_host(
     return out
 
 
+def mlx_quantize_host(
+    w: np.ndarray, bits: int = 4, group_size: int = 64
+) -> Dict[str, np.ndarray]:
+    """Quantize an (out, in) float matrix into MLX ``nn.quantize`` storage:
+    ``weight`` (out, in/8) uint32 (8 nibbles/word along the input axis, value
+    j at bits [4j, 4j+4)), ``scales``/``biases`` (out, in/g) with
+    w = scale * q + bias. Used to fabricate checkpoints in the genuine MLX
+    4-bit file format (tests + tools/make_ckpt_mirror.py)."""
+    assert bits == 4, "only 4-bit MLX packing is fabricated"
+    out_dim, in_dim = w.shape
+    assert in_dim % group_size == 0 and in_dim % 8 == 0
+    g = w.reshape(out_dim, in_dim // group_size, group_size).astype(np.float32)
+    wmin = g.min(axis=2)
+    wmax = g.max(axis=2)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8).astype(np.float32)
+    q = np.clip(
+        np.round((g - wmin[:, :, None]) / scale[:, :, None]), 0, 15
+    ).astype(np.uint32).reshape(out_dim, in_dim)
+    packed = np.zeros((out_dim, in_dim // 8), dtype=np.uint32)
+    for j in range(8):
+        packed |= q[:, j::8] << np.uint32(4 * j)
+    return {"weight": packed, "scales": scale, "biases": wmin.astype(np.float32)}
+
+
 # ---------------------------------------------------------------------------
 # In-jit dequantisation + matmul
 # ---------------------------------------------------------------------------

@@ -227,7 +227,7 @@ class DiffusionPipeline:
         load: bool = True,
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
-        use_scan: bool = False,
+        use_scan: bool = True,
         mesh=None,
     ):
         from .utils import enable_compilation_cache
@@ -243,8 +243,11 @@ class DiffusionPipeline:
         self.use_t5 = use_t5 or self.t5_forced
         self.sdpa_impl = sdpa_impl
         self.quantize_mmdit = quantize_mmdit
-        # use_scan: compile the whole denoise schedule as one lax.scan program
-        # (fastest; loses true per-iteration timing).
+        # use_scan (default ON): compile the whole denoise schedule as one
+        # lax.scan program — zero host round-trips in the hot loop (measured
+        # ~30 ms/step of dispatch overhead saved on this box's relay).
+        # iter_time is then reported as total/n; pass use_scan=False for true
+        # per-iteration timings (reference mlx/__init__.py:774-784 contract).
         self.use_scan = use_scan
         # mesh: jax.sharding.Mesh with ("data", "model") axes. When set, the
         # MMDiT loads tensor-parallel over the model axis (parallel/sharding
@@ -436,7 +439,13 @@ class DiffusionPipeline:
             jnp.float32,
         )
 
-        cfg_on = cfg_weight > 0
+        # CFG engages only above 1.0, matching encode_text's negative-row
+        # threshold (reference mlx/__init__.py:203). The reference's denoiser
+        # nominally doubles the batch for 0 < cfg <= 1 too, but with no
+        # negative row encoded the guidance mix degenerates to the positive
+        # prediction — identical output, twice the compute — so the single
+        # consistent threshold is used here.
+        cfg_on = cfg_weight > 1
         if cfg_on:
             if conditioning.shape[0] == 1:
                 conditioning = jnp.tile(conditioning, (2, 1, 1))
@@ -687,7 +696,7 @@ class FluxPipeline(DiffusionPipeline):
         load: bool = True,
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
-        use_scan: bool = False,
+        use_scan: bool = True,
         mesh=None,
     ):
         super().__init__(

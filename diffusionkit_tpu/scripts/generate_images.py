@@ -92,8 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write a jax.profiler trace of the denoise loop to this directory",
     )
     parser.add_argument(
-        "--use-scan", action="store_true",
-        help="Compile the whole denoise schedule as one lax.scan program (fastest)",
+        "--use-scan", action=argparse.BooleanOptionalAction, default=True,
+        help="Compile the whole denoise schedule as one lax.scan program "
+             "(default on; --no-use-scan restores the per-step loop with true "
+             "per-iteration timings)",
     )
     return parser
 
@@ -113,7 +115,8 @@ def cli(argv=None):
     if not 0.0 <= args.denoise <= 1.0:
         raise ValueError("Denoising factor must be between 0.0 and 1.0")
 
-    shift = args.shift or SHIFT[args.model_version]
+    # `is None` (not falsy-or): an explicit --shift 0.0 must be honoured.
+    shift = SHIFT[args.model_version] if args.shift is None else args.shift
     pipeline_class = FluxPipeline if "FLUX" in args.model_version else DiffusionPipeline
     sd = pipeline_class(
         w16=args.w16,
@@ -128,8 +131,8 @@ def cli(argv=None):
     if args.preload_models:
         sd.ensure_models_are_loaded()
 
-    height = args.height or HEIGHT[args.model_version]
-    width = args.width or WIDTH[args.model_version]
+    height = HEIGHT[args.model_version] if args.height is None else args.height
+    width = WIDTH[args.model_version] if args.width is None else args.width
     assert height % 16 == 0, f"Height must be divisible by 16 ({height})"
     assert width % 16 == 0, f"Width must be divisible by 16 ({width})"
     logger.info("Output image resolution will be %dx%d", height, width)

@@ -143,7 +143,7 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--shift", type=float, default=None)
     ap.add_argument("--t5", action="store_true")
-    ap.add_argument("--use-scan", action="store_true")
+    ap.add_argument("--use-scan", action=argparse.BooleanOptionalAction, default=True)
     args = ap.parse_args(argv)
 
     is_flux = "FLUX" in args.model_version
