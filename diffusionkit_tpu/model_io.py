@@ -741,22 +741,23 @@ def clip_params_from_hf_ckpt(
         "token_embedding": _as(dtype, sd["embeddings.token_embedding.weight"]),
         "position_embedding": _as(dtype, sd["embeddings.position_embedding.weight"]),
         "final_layer_norm": _norm(sd, "final_layer_norm", dtype),
-        "layers": [],
     }
-    for i in range(config.num_layers):
+
+    def layer(i: int) -> Params:
         pre = f"encoder.layers.{i}"
-        p["layers"].append(
-            {
-                "ln1": _norm(sd, pre + ".layer_norm1", dtype),
-                "ln2": _norm(sd, pre + ".layer_norm2", dtype),
-                "query_proj": _lin(sd, pre + ".self_attn.q_proj", dtype),
-                "key_proj": _lin(sd, pre + ".self_attn.k_proj", dtype),
-                "value_proj": _lin(sd, pre + ".self_attn.v_proj", dtype),
-                "out_proj": _lin(sd, pre + ".self_attn.out_proj", dtype),
-                "linear1": _lin(sd, pre + ".mlp.fc1", dtype),
-                "linear2": _lin(sd, pre + ".mlp.fc2", dtype),
-            }
-        )
+        return {
+            "ln1": _norm(sd, pre + ".layer_norm1", dtype),
+            "ln2": _norm(sd, pre + ".layer_norm2", dtype),
+            "query_proj": _lin(sd, pre + ".self_attn.q_proj", dtype),
+            "key_proj": _lin(sd, pre + ".self_attn.k_proj", dtype),
+            "value_proj": _lin(sd, pre + ".self_attn.v_proj", dtype),
+            "out_proj": _lin(sd, pre + ".self_attn.out_proj", dtype),
+            "linear1": _lin(sd, pre + ".mlp.fc1", dtype),
+            "linear2": _lin(sd, pre + ".mlp.fc2", dtype),
+        }
+
+    # Stacked for the lax.scan layer loop (models/clip.py).
+    p["layers"] = _stack([layer(i) for i in range(config.num_layers)])
     if "text_projection.weight" in sd and config.projection_dim is not None:
         p["text_projection"] = _lin(sd, "text_projection", dtype, bias=False)
     return p

@@ -4,6 +4,12 @@ Behavioural spec: reference python/src/diffusionkit/mlx/clip.py:14-120.
 Returns pooled output (EOS-argmax token, optionally projected), the final
 hidden state, and all per-layer hidden states — SD3 consumes the penultimate
 hidden state (reference mlx/__init__.py:217).
+
+Per-depth layer weights are STACKED and the layer loop is one ``lax.scan``
+(the package-wide convention, cf. models/mmdit.py): one compiled layer body
+for bigG's 32 layers instead of 32 unrolled copies — flat trace/compile time
+and a single sharding decision per weight. The scan's stacked ys provide the
+per-layer hidden states the reference exposes as a Python list.
 """
 
 from __future__ import annotations
@@ -82,10 +88,12 @@ def apply_clip(
     idx = jnp.arange(n)
     mask = jnp.where(idx[:, None] < idx[None, :], neg, 0.0).astype(jnp.float32)
 
-    hidden_states = []
-    for lp in params["layers"]:
-        x = _encoder_layer(lp, x, mask, config)
-        hidden_states.append(x)
+    def body(h, lp):
+        h = _encoder_layer(lp, h, mask, config)
+        return h, h
+
+    x, ys = jax.lax.scan(body, x, params["layers"])
+    hidden_states = [ys[i] for i in range(config.num_layers)]
 
     x = layer_norm_affine(
         x, params["final_layer_norm"]["weight"], params["final_layer_norm"]["bias"], eps=1e-5
@@ -118,12 +126,12 @@ def init_clip_params(
             jax.random.normal(next(ks), (config.max_length, d), jnp.float32) * 0.02
         ).astype(dtype),
         "final_layer_norm": norm(),
-        "layers": [],
     }
+    layers = []
     for _ in range(config.num_layers):
         k = next(ks)
         k1, k2, k3, k4, k5, k6 = jax.random.split(k, 6)
-        p["layers"].append(
+        layers.append(
             {
                 "ln1": norm(),
                 "ln2": norm(),
@@ -135,6 +143,7 @@ def init_clip_params(
                 "linear2": lin(k6, 4 * d, d),
             }
         )
+    p["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     if config.projection_dim is not None:
         p["text_projection"] = lin(next(ks), d, config.projection_dim, bias=False)
     return p

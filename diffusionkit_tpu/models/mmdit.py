@@ -136,6 +136,7 @@ def _mm_block(
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     config: MMDiTConfig,
     sdpa_impl: Optional[str],
+    mesh=None,
     final_skip_text: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dual-stream block with joint SDPA (reference mmdit.py:554-675).
@@ -172,7 +173,7 @@ def _mm_block(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl)
+    o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl, mesh=mesh)
     o = _merge_heads(o)
 
     if config.depth_unified > 0:
@@ -201,6 +202,7 @@ def _unified_block(
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
     config: MMDiTConfig,
     sdpa_impl: Optional[str],
+    mesh=None,
 ) -> jnp.ndarray:
     """Single-stream block with parallel MLP (reference mmdit.py:678-751).
 
@@ -217,7 +219,9 @@ def _unified_block(
         cos, sin = rope
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    o = _merge_heads(sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl))
+    o = _merge_heads(
+        sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl, mesh=mesh)
+    )
     if config.parallel_mlp_for_unified_blocks:
         return x + mods[2] * (linear(bp["o"], o) + ffn_gelu(bp, h))
     x = x + mods[2] * linear(bp["o"], o)
@@ -240,6 +244,7 @@ def apply_mmdit(
     timestep: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
     sdpa_impl: Optional[str] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """MMDiT forward (reference mmdit.py:188-266).
 
@@ -252,6 +257,8 @@ def apply_mmdit(
         (config.guidance_embed). Unlike the reference — whose dev loader never
         engages guidance_embed (reference model_io.py:756, config.py:109) —
         this path is functional.
+      mesh: optional jax.sharding.Mesh — routes attention through the
+        mesh-aware dispatch (shard_map'd flash / ring; ops/attention.py).
     Returns: (B, H_lat, W_lat, C) model output (velocity prediction).
     """
     b, lh, lw, _ = latent.shape
@@ -307,7 +314,7 @@ def apply_mmdit(
 
     def mm_body(carry, bp):
         img, txt_ = carry
-        img, txt_ = _mm_block(bp, img, txt_, c, rope, config, sdpa_impl)
+        img, txt_ = _mm_block(bp, img, txt_, c, rope, config, sdpa_impl, mesh)
         return (img, txt_), None
 
     for start, end, upcast in _segments(n_uniform, tuple(config.upcast_multimodal_blocks)):
@@ -329,7 +336,7 @@ def apply_mmdit(
     if config.depth_unified == 0:
         # Final SD3 multimodal block: text branch is K/V-only.
         x, _ = _mm_block(
-            params["mm_final"], x, txt, c, rope, config, sdpa_impl,
+            params["mm_final"], x, txt, c, rope, config, sdpa_impl, mesh,
             final_skip_text=True,
         )
     else:
@@ -338,7 +345,7 @@ def apply_mmdit(
         u = jnp.concatenate([txt, x], axis=1)
 
         def uni_body(carry, bp):
-            return _unified_block(bp, carry, c, rope, config, sdpa_impl), None
+            return _unified_block(bp, carry, c, rope, config, sdpa_impl, mesh), None
 
         for start, end, upcast in _segments(
             config.depth_unified, tuple(config.upcast_unified_blocks)

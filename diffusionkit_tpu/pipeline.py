@@ -102,6 +102,7 @@ def _cfg_euler_step(
     config: MMDiTConfig,
     cfg_on: bool,
     sdpa_impl: Optional[str],
+    mesh=None,
 ) -> jnp.ndarray:
     """One CFG + Euler step (reference mlx/__init__.py:691-719,775-782).
 
@@ -123,6 +124,7 @@ def _cfg_euler_step(
         timestep,
         guidance=guidance,
         sdpa_impl=sdpa_impl,
+        mesh=mesh,
     ).astype(jnp.float32)
     denoised = xin.astype(jnp.float32) - out * sigma
     if cfg_on:
@@ -135,14 +137,14 @@ def _cfg_euler_step(
 
 _denoise_step = partial(
     jax.jit,
-    static_argnames=("config", "cfg_on", "sdpa_impl"),
+    static_argnames=("config", "cfg_on", "sdpa_impl", "mesh"),
     donate_argnums=(1,),
 )(_cfg_euler_step)
 
 
 @partial(
     jax.jit,
-    static_argnames=("config", "cfg_on", "sdpa_impl"),
+    static_argnames=("config", "cfg_on", "sdpa_impl", "mesh"),
     donate_argnums=(1,),
 )
 def _denoise_scan(
@@ -156,6 +158,7 @@ def _denoise_scan(
     config: MMDiTConfig,
     cfg_on: bool,
     sdpa_impl: Optional[str],
+    mesh=None,
 ) -> jnp.ndarray:
     """Whole denoise loop as one ``lax.scan`` — a single XLA program for all
     steps with zero host round-trips; the TPU-native form of the reference's
@@ -165,7 +168,7 @@ def _denoise_scan(
         sigma, sigma_next = sig
         x = _cfg_euler_step(
             params, x, sigma, sigma_next, conditioning, pooled,
-            cfg_weight, guidance, config, cfg_on, sdpa_impl,
+            cfg_weight, guidance, config, cfg_on, sdpa_impl, mesh,
         )
         return x, None
 
@@ -486,6 +489,7 @@ class DiffusionPipeline:
                 self.mmdit_config,
                 cfg_on,
                 self.sdpa_impl,
+                self.mesh,
             )
             x.block_until_ready()
             iter_time = [round((time.perf_counter() - t0) / max(n_iter, 1), 4)] * n_iter
@@ -504,6 +508,7 @@ class DiffusionPipeline:
                     self.mmdit_config,
                     cfg_on,
                     self.sdpa_impl,
+                    self.mesh,
                 )
                 x.block_until_ready()
                 iter_time.append(round(time.perf_counter() - t0, 4))
