@@ -277,7 +277,14 @@ class DiffusionPipeline:
         self.t5_tokenizer = None
 
         if load:
-            self.check_and_load_models()
+            if self.low_memory_mode:
+                # Phase-lazy: see generate_image. The reference eagerly loads
+                # everything here (reference mlx/__init__.py:107) and relies
+                # on between-phase unloads; deferring instead bounds peak HBM
+                # at max(phase) so 12B-class models fit one chip.
+                self.load_text_encoders()
+            else:
+                self.check_and_load_models()
 
     # -- model management (reference mlx/__init__.py:107-174) ---------------
 
@@ -301,15 +308,21 @@ class DiffusionPipeline:
             params = jax.device_put(params)
         self.mmdit_params = params
 
+    def load_decoder(self):
+        # VAE in the weight dtype (reference runs the fp16 VAE under w16,
+        # model_io.py:858-888); GroupNorm statistics stay fp32 either way.
+        self.decoder_params = model_io.load_vae_decoder(
+            self.model_version, self.dtype, self.local_ckpt
+        )
+
     def check_and_load_models(self):
         if self.mmdit_params is None:
             self.load_mmdit()
         if self.decoder_params is None:
-            # VAE in the weight dtype (reference runs the fp16 VAE under w16,
-            # model_io.py:858-888); GroupNorm statistics stay fp32 either way.
-            self.decoder_params = model_io.load_vae_decoder(
-                self.model_version, self.dtype, self.local_ckpt
-            )
+            self.load_decoder()
+        self.load_text_encoders()
+
+    def load_text_encoders(self):
         if self.clip_l is None:
             self.clip_l, self.clip_l_config = model_io.load_text_encoder("clip_l", self.dtype)
             self.tokenizer_l = model_io.load_tokenizer("l", pad_with_eos=True)
@@ -586,7 +599,16 @@ class DiffusionPipeline:
         assert latent_size[0] % 2 == 0 and latent_size[1] % 2 == 0, (
             "Latent sizes must be divisible by 2 (patch size)"
         )
-        self.check_and_load_models()
+        if self.low_memory_mode:
+            # Phase-lazy loading: only the text encoders now; the MMDiT and
+            # VAE load right before their phases. Bounds the HBM high-water
+            # mark at max(phase) instead of sum(all) — the reference loads
+            # everything up front and only unloads between phases
+            # (reference mlx/__init__.py:107-174,313), which cannot fit
+            # T5-XXL + a 12B MMDiT on one 16 GB chip.
+            self.load_text_encoders()
+        else:
+            self.check_and_load_models()
 
         log: Dict[str, Any] = {
             "text_encoding": {"pre": self._mem(), "post": {}, "time": None},
@@ -616,6 +638,8 @@ class DiffusionPipeline:
             self.clip_g = None
             gc.collect()
 
+        if self.mmdit_params is None:
+            self.load_mmdit()
         t0 = time.time()
         log["denoising"]["pre"] = self._mem()
         # Optional profiler capture of the hot loop (TPU equivalent of the
@@ -652,6 +676,8 @@ class DiffusionPipeline:
             self.mmdit_params = None
             gc.collect()
 
+        if self.decoder_params is None:
+            self.load_decoder()
         t0 = time.time()
         log["decoding"]["pre"] = self._mem()
         decoded = self.decode_latents_to_image(latents)
@@ -680,6 +706,89 @@ class DiffusionPipeline:
         if x.shape[0] == 1:
             return Image.fromarray(x[0]), log
         return [Image.fromarray(im) for im in x], log
+
+
+    # -- multi-prompt batched generation (serving; beyond the reference) -----
+
+    def generate_images_batched(
+        self,
+        texts: List[str],
+        num_steps: int = 4,
+        cfg_weight: float = 0.0,
+        negative_texts: Optional[List[str]] = None,
+        latent_size: Tuple[int, int] = (64, 64),
+        seeds: Optional[List[Optional[int]]] = None,
+        guidance: Optional[float] = None,
+    ):
+        """One batched denoise for N DIFFERENT prompts (one jitted program,
+        model batch [pos*N, neg*N] mirroring the CFG layout). The serving
+        fast path: N prompts cost one schedule instead of N (the reference
+        is strictly single-image per call, mlx/__init__.py:294)."""
+        from PIL import Image
+
+        n = len(texts)
+        negative_texts = negative_texts or [""] * n
+        seeds = seeds if seeds is not None else [None] * n
+        seeds = [int(time.time()) + i if s is None else int(s)
+                 for i, s in enumerate(seeds)]
+        if self.low_memory_mode:
+            self.load_text_encoders()
+        else:
+            self.check_and_load_models()
+
+        conds, pooleds = zip(*(
+            self.encode_text(t, cfg_weight, neg)
+            for t, neg in zip(texts, negative_texts)
+        ))
+        cfg_on = cfg_weight > 1
+        if cfg_on:
+            # [pos rows..., neg rows...] to match the [x, x] latent doubling.
+            conditioning = jnp.concatenate(
+                [jnp.concatenate([c[:1] for c in conds]),
+                 jnp.concatenate([c[1:2] for c in conds])]
+            )
+            pooled = jnp.concatenate(
+                [jnp.concatenate([p[:1] for p in pooleds]),
+                 jnp.concatenate([p[1:2] for p in pooleds])]
+            )
+        else:
+            conditioning = jnp.concatenate([c[:1] for c in conds])
+            pooled = jnp.concatenate([p[:1] for p in pooleds])
+
+        if self.mmdit_params is None:
+            self.load_mmdit()
+        x_T1 = self.get_empty_latent(*latent_size)
+        noise = jnp.concatenate([self.get_noise(s, x_T1) for s in seeds])
+        sigmas = self.get_sigmas(num_steps)
+        noise_scaled = jnp.asarray(
+            self.sampler.noise_scaling(
+                sigmas[0], noise, jnp.tile(x_T1, (n, 1, 1, 1)),
+                self.max_denoise(sigmas),
+            ),
+            jnp.float32,
+        )
+        g = None
+        if self.mmdit_config.guidance_embed:
+            g = jnp.asarray(3.5 if guidance is None else guidance, jnp.float32)
+        x = _denoise_scan(
+            self.mmdit_params,
+            noise_scaled,
+            jnp.asarray(sigmas, jnp.float32),
+            conditioning.astype(self.mmdit_config.dtype),
+            pooled.astype(self.mmdit_config.dtype),
+            jnp.asarray(cfg_weight, jnp.float32),
+            g,
+            self.mmdit_config,
+            cfg_on,
+            self.sdpa_impl,
+            self.mesh,
+        )
+        latents = self.latent_format.process_out(x)
+        if self.decoder_params is None:
+            self.load_decoder()
+        decoded = self.decode_latents_to_image(latents)
+        arr = (np.asarray(decoded) * 255).astype(np.uint8)
+        return [Image.fromarray(im) for im in arr]
 
 
 class FluxPipeline(DiffusionPipeline):

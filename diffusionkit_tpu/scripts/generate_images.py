@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write a jax.profiler trace of the denoise loop to this directory",
     )
     parser.add_argument(
+        "--quantize-mmdit", action="store_true",
+        help="Quantize the MMDiT to int4 weight-only at load (the reference's "
+             "FluxPipeline(quantize_mmdit=True); required to fit the 12B FLUX "
+             "bf16 checkpoints on one 16 GB chip)",
+    )
+    parser.add_argument(
         "--use-scan", action=argparse.BooleanOptionalAction, default=True,
         help="Compile the whole denoise schedule as one lax.scan program "
              "(default on; --no-use-scan restores the per-step loop with true "
@@ -127,6 +133,7 @@ def cli(argv=None):
         a16=args.a16,
         local_ckpt=args.local_ckpt,
         use_scan=args.use_scan,
+        quantize_mmdit=args.quantize_mmdit,
     )
     if args.preload_models:
         sd.ensure_models_are_loaded()

@@ -1,15 +1,19 @@
-"""Minimal production image-generation server.
+"""Minimal production image-generation server with request batching.
 
 Serving layer over DiffusionPipeline/FluxPipeline (beyond the reference's
 scope — it ships only a CLI — but this framework targets production serving).
-Stdlib-only HTTP server; requests are serialized through a single lock
-because one pipeline owns one chip/mesh (XLA programs are already
-compiled+cached after the first request of each shape).
+Stdlib-only HTTP server. Concurrent requests with the same shape bucket
+(height, width, steps, cfg, guidance) are MERGED into one batched denoise
+(pipeline.generate_images_batched): one jitted schedule for N prompts
+instead of N sequential schedules. Batches are padded up to power-of-two
+buckets so XLA compiles once per bucket, not once per queue length.
 
 POST /generate  {"prompt": str, "steps": int, "cfg": float, "seed": int?,
                  "negative_prompt": str?, "height": int?, "width": int?,
                  "num_images": int?, "guidance": float?}
-  -> image/png (single) or multipart JSON with base64 images (num_images > 1)
+  -> image/png (single) or JSON with base64 images (num_images > 1)
+POST /warmup    {"steps", "cfg", "height", "width", "batch"}
+  -> pre-compiles the buckets up to "batch" (default max_batch)
 GET /healthz -> {"status": "ok", ...device info}
 """
 
@@ -18,7 +22,9 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -27,31 +33,148 @@ from .utils import get_logger, inference_context
 logger = get_logger(__name__)
 
 
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return min(b, max_batch)
+
+
+class _Job:
+    __slots__ = ("req", "event", "images", "error", "t_enqueue")
+
+    def __init__(self, req):
+        self.req = req
+        self.event = threading.Event()
+        self.images = None
+        self.error = None
+        self.t_enqueue = time.perf_counter()
+
+
 class GenerationServer:
-    def __init__(self, pipeline, default_steps: int = 4, default_cfg: float = 0.0):
+    """Batching front-end: one worker thread owns the chip; requests queue
+    and compatible neighbours ride the same denoise."""
+
+    def __init__(
+        self,
+        pipeline,
+        default_steps: int = 4,
+        default_cfg: float = 0.0,
+        max_batch: int = 8,
+        batch_window_s: float = 0.05,
+    ):
         self.pipeline = pipeline
         self.default_steps = default_steps
         self.default_cfg = default_cfg
-        self.lock = threading.Lock()
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- request normalisation ------------------------------------------------
+
+    def _key(self, req: dict):
+        return (
+            int(req.get("height", 512)), int(req.get("width", 512)),
+            int(req.get("steps", self.default_steps)),
+            float(req.get("cfg", self.default_cfg)),
+            req.get("guidance"),
+            int(req.get("num_images", 1)),
+            bool(req.get("image_path")),
+        )
 
     def generate(self, req: dict):
-        height = int(req.get("height", 512))
-        width = int(req.get("width", 512))
+        height, width = int(req.get("height", 512)), int(req.get("width", 512))
         if height % 16 or width % 16:
             raise ValueError("height/width must be divisible by 16")
-        with self.lock:  # one chip, one request at a time
-            image, log = self.pipeline.generate_image(
-                req["prompt"],
-                num_steps=int(req.get("steps", self.default_steps)),
-                cfg_weight=float(req.get("cfg", self.default_cfg)),
-                negative_text=req.get("negative_prompt", ""),
-                latent_size=(height // 8, width // 8),
-                seed=req.get("seed"),
-                verbose=False,
-                num_images=int(req.get("num_images", 1)),
-                guidance=req.get("guidance"),
+        job = _Job(req)
+        self.queue.put(job)
+        job.event.wait()
+        if job.error is not None:
+            raise job.error
+        return job.images
+
+    # -- batching worker -------------------------------------------------------
+
+    def _run(self):
+        while True:
+            first = self.queue.get()
+            time.sleep(self.batch_window_s)  # let neighbours arrive
+            batch = [first]
+            deferred = []
+            key = self._key(first.req)
+            while len(batch) < self.max_batch:
+                try:
+                    job = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                (batch if self._key(job.req) == key else deferred).append(job)
+            for job in deferred:  # different bucket: next round
+                self.queue.put(job)
+            try:
+                self._run_batch(key, batch)
+            except Exception as e:  # pragma: no cover
+                logger.exception("batch generation failed")
+                for job in batch:
+                    job.error = e
+                    job.event.set()
+
+    def _run_batch(self, key, batch):
+        height, width, steps, cfg, guidance, num_images, has_image = key
+        if num_images > 1 or has_image:
+            # Multi-image or img2img: single-request path.
+            for job in batch:
+                r = job.req
+                images, _ = self.pipeline.generate_image(
+                    r["prompt"], num_steps=steps, cfg_weight=cfg,
+                    negative_text=r.get("negative_prompt", ""),
+                    latent_size=(height // 8, width // 8), seed=r.get("seed"),
+                    verbose=False, num_images=num_images, guidance=guidance,
+                    image_path=r.get("image_path"),
+                    denoise=float(r.get("denoise", 1.0)),
+                )
+                job.images = images if isinstance(images, list) else [images]
+                job.event.set()
+            return
+
+        n = len(batch)
+        bucket = _bucket(n, self.max_batch)
+        jobs = batch + [batch[-1]] * (bucket - n)  # pad: compile per bucket
+        t0 = time.perf_counter()
+        images = self.pipeline.generate_images_batched(
+            [j.req["prompt"] for j in jobs],
+            num_steps=steps, cfg_weight=cfg,
+            negative_texts=[j.req.get("negative_prompt", "") for j in jobs],
+            latent_size=(height // 8, width // 8),
+            seeds=[j.req.get("seed") for j in jobs],
+            guidance=guidance,
+        )
+        dt = time.perf_counter() - t0
+        logger.info("batch of %d (bucket %d) in %.2fs (%.1f img/min)",
+                    n, bucket, dt, 60.0 * n / dt)
+        for job, image in zip(batch, images):
+            job.images = [image]
+            job.event.set()
+
+    def warmup(self, req: dict):
+        height, width = int(req.get("height", 512)), int(req.get("width", 512))
+        steps = int(req.get("steps", self.default_steps))
+        cfg = float(req.get("cfg", self.default_cfg))
+        top = _bucket(int(req.get("batch", self.max_batch)), self.max_batch)
+        b = 1
+        compiled = []
+        while b <= top:
+            self.pipeline.generate_images_batched(
+                ["warmup"] * b, num_steps=steps, cfg_weight=cfg,
+                latent_size=(height // 8, width // 8), seeds=[0] * b,
             )
-        return image, log
+            compiled.append(b)
+            b *= 2
+        return {"compiled_buckets": compiled, "steps": steps, "cfg": cfg,
+                "height": height, "width": width}
+
+    # -- HTTP plumbing ---------------------------------------------------------
 
     def handler_class(self):
         server = self
@@ -75,16 +198,19 @@ class GenerationServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
-                    self._json(404, {"error": "not found"})
-                    return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/warmup":
+                        self._json(200, server.warmup(req))
+                        return
+                    if self.path != "/generate":
+                        self._json(404, {"error": "not found"})
+                        return
                     if "prompt" not in req:
                         self._json(400, {"error": "missing 'prompt'"})
                         return
-                    image, log = server.generate(req)
+                    images = server.generate(req)
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
@@ -93,23 +219,13 @@ class GenerationServer:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
 
-                if isinstance(image, list):
-                    payload = {
-                        "images": [_png_b64(im) for im in image],
-                        "timings": {
-                            k: log[k]["time"]
-                            for k in ("text_encoding", "denoising", "decoding")
-                        },
-                    }
-                    self._json(200, payload)
+                if len(images) > 1:
+                    self._json(200, {"images": [_png_b64(im) for im in images]})
                 else:
-                    data = _png_bytes(image)
+                    data = _png_bytes(images[0])
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
                     self.send_header("Content-Length", str(len(data)))
-                    self.send_header(
-                        "X-Denoise-Time", str(log["denoising"]["time"])
-                    )
                     self.end_headers()
                     self.wfile.write(data)
 
@@ -117,7 +233,7 @@ class GenerationServer:
 
     def serve_forever(self, host: str = "0.0.0.0", port: int = 8000):
         httpd = ThreadingHTTPServer((host, port), self.handler_class())
-        logger.info("Serving on %s:%d", host, port)
+        logger.info("Serving on %s:%d (max_batch=%d)", host, port, self.max_batch)
         httpd.serve_forever()
 
 
@@ -144,6 +260,8 @@ def main(argv=None):
     ap.add_argument("--shift", type=float, default=None)
     ap.add_argument("--t5", action="store_true")
     ap.add_argument("--use-scan", action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--quantize-mmdit", action="store_true")
+    ap.add_argument("--max-batch", type=int, default=8)
     args = ap.parse_args(argv)
 
     is_flux = "FLUX" in args.model_version
@@ -154,11 +272,13 @@ def main(argv=None):
         use_t5=args.t5,
         low_memory_mode=False,  # serving keeps everything resident
         use_scan=args.use_scan,
+        quantize_mmdit=args.quantize_mmdit,
     )
     GenerationServer(
         pipe,
         default_steps=4 if is_flux else 50,
         default_cfg=0.0 if is_flux else 5.0,
+        max_batch=args.max_batch,
     ).serve_forever(args.host, args.port)
 
 

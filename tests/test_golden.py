@@ -61,6 +61,8 @@ def test_pipeline_correctness_golden_images():
             model_version=version,
             low_memory_mode=True,
             use_t5=example.get("use_t5", False),
+            quantize_mmdit=example.get("quantize_mmdit", False),
+            shift=example.get("shift", 1.0 if "FLUX" in version else 3.0),
         )
         img, _ = pipe.generate_image(
             example["prompt"],
@@ -70,6 +72,7 @@ def test_pipeline_correctness_golden_images():
             latent_size=(example["height"] // 8, example["width"] // 8),
             seed=example["seed"],
             verbose=False,
+            guidance=example.get("guidance"),
         )
         ref = Image.open(_DATASET / example["image"])
         psnr = image_psnr(ref, img)

@@ -63,7 +63,45 @@ def test_generate_batch_json(server_url):
     assert len(body["images"]) == 2
     img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
     assert img.size == (64, 64)
-    assert body["timings"]["denoising"] is not None
+
+
+def test_concurrent_requests_batched(server_url):
+    """Concurrent same-bucket requests merge into one batched denoise and
+    each caller gets its own (seed-distinct) image."""
+    from PIL import Image
+
+    results = {}
+
+    def fetch(seed):
+        with _post(server_url, {"prompt": "a cat", "seed": seed,
+                                "height": 64, "width": 64}) as r:
+            results[seed] = np.asarray(Image.open(io.BytesIO(r.read())))
+
+    threads = [threading.Thread(target=fetch, args=(s,)) for s in (1, 2, 3, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {1, 2, 3, 4}
+    assert not np.array_equal(results[1], results[2])
+    # seed 1 via the batch == seed 1 single-request (same noise convention)
+    with _post(server_url, {"prompt": "a cat", "seed": 1,
+                            "height": 64, "width": 64}) as r:
+        single = np.asarray(Image.open(io.BytesIO(r.read())))
+    np.testing.assert_allclose(
+        results[1].astype(int), single.astype(int), atol=2
+    )
+
+
+def test_warmup_endpoint(server_url):
+    req = urllib.request.Request(
+        server_url + "/warmup",
+        data=json.dumps({"batch": 2, "height": 64, "width": 64, "steps": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = json.loads(r.read())
+    assert body["compiled_buckets"] == [1, 2]
 
 
 def test_errors(server_url):
