@@ -256,10 +256,11 @@ def mlx_q4_to_exec(
     q = np.zeros((out_dim, in_dim), dtype=np.uint8)
     for j in range(8):
         q[:, j::8] = ((p >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.uint8)
+    # Host numpy throughout (device placement happens once in load_mmdit).
     return {
-        "q4": jnp.asarray(pack_int4_host(np.ascontiguousarray(q.T))),
-        "scales": jnp.asarray(np.ascontiguousarray(scales.astype(np.float32).T)),
-        "zeros": jnp.asarray(np.ascontiguousarray(biases.astype(np.float32).T)),
+        "q4": pack_int4_host(np.ascontiguousarray(q.T)),
+        "scales": np.ascontiguousarray(scales.astype(np.float32).T),
+        "zeros": np.ascontiguousarray(biases.astype(np.float32).T),
         "bias": _as(dtype, np.asarray(bias)) if bias is not None else None,
     }
 
@@ -341,7 +342,11 @@ def _norm(sd, key, dtype) -> Params:
 def _stack(trees):
     import jax
 
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+    # np.stack, NOT jnp.stack: mappers promise HOST trees (see _as) so
+    # multi-GB models never hit HBM before sharding/quantisation decisions —
+    # jnp here silently device-put an 8B bf16 stacked tree and OOM'd the
+    # chip when load_mmdit(to_device=False) was combined with quantize_mmdit.
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
 
 
 def _strip_prefix(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:

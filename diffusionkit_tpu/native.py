@@ -30,7 +30,8 @@ def _build() -> bool:
     if not src.exists():
         return False
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(_SO_PATH),
+        "g++", "-O3", "-shared", "-fPIC", "-pthread",
+        str(src), "-o", str(_SO_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -64,6 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             fn.restype = None
         lib.dk_f32_to_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
         lib.dk_f32_to_bf16.restype = None
+        try:  # absent in pre-quantizer builds of the .so
+            lib.dk_quantize_int4.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.dk_quantize_int4.restype = None
+        except AttributeError:
+            pass
         _lib = lib
     except OSError as e:
         logger.debug("libdkio load failed: %s", e)
@@ -95,6 +104,27 @@ def f16_to_f32(src: np.ndarray) -> np.ndarray:
         flat.size,
     )
     return out
+
+
+def quantize_int4(w: np.ndarray, group_size: int):
+    """Multi-threaded affine int4 group quantization of an (in, out) float32
+    kernel into the execution layout (packed uint32 + fp32 scales/zeros).
+    Returns None when the native lib is unavailable (caller uses numpy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dk_quantize_int4"):
+        return None
+    in_dim, out_dim = w.shape
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    packed = np.empty((in_dim // 8, out_dim), np.uint32)
+    scales = np.empty((in_dim // group_size, out_dim), np.float32)
+    zeros = np.empty_like(scales)
+    lib.dk_quantize_int4(
+        w.ctypes.data_as(ctypes.c_void_p), in_dim, out_dim, group_size,
+        packed.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+        zeros.ctypes.data_as(ctypes.c_void_p),
+    )
+    return {"q4": packed, "scales": scales, "zeros": zeros}
 
 
 def f32_to_bf16(src: np.ndarray) -> np.ndarray:

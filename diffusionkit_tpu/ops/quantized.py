@@ -51,13 +51,22 @@ def pack_int4_host(q: np.ndarray) -> np.ndarray:
 def quantize_kernel_host(
     w: np.ndarray, bits: int = 4, group_size: int = 64
 ) -> Params:
-    """Affine group quantisation of an (in, out) float kernel (host numpy).
+    """Affine group quantisation of an (in, out) float kernel (host).
 
     Matches MLX's affine scheme: per (group, out-channel)
-    ``w = scale * q + zero`` with q in [0, 2^bits - 1].
+    ``w = scale * q + zero`` with q in [0, 2^bits - 1]. int4 routes through
+    the multi-threaded native quantizer (native/dkio.cpp dk_quantize_int4 —
+    identical math, minutes -> seconds on a 12B model) with this numpy
+    implementation as the reference and fallback.
     """
     in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
+    if bits == 4:
+        from .. import native
+
+        q = native.quantize_int4(np.ascontiguousarray(w, np.float32), group_size)
+        if q is not None:
+            return q
     g = w.reshape(in_dim // group_size, group_size, out_dim).astype(np.float32)
     wmin = g.min(axis=1)  # (groups, out)
     wmax = g.max(axis=1)
@@ -68,11 +77,14 @@ def quantize_kernel_host(
         np.round((g - zero[:, None, :]) / scale[:, None, :]), 0, qmax
     ).astype(np.uint8)
     q = q.reshape(in_dim, out_dim)
-    out: Params = {"scales": jnp.asarray(scale), "zeros": jnp.asarray(zero)}
+    # Host numpy outputs: callers (loaders / quantize_tree) device_put once
+    # at the end so multi-GB float source trees never coexist with their
+    # quantized copies in HBM.
+    out: Params = {"scales": scale, "zeros": zero}
     if bits == 4:
-        out["q4"] = jnp.asarray(pack_int4_host(q))
+        out["q4"] = pack_int4_host(q)
     elif bits == 8:
-        out["q8"] = jnp.asarray(q)  # uint8: affine range [0, 255]
+        out["q8"] = q  # uint8: affine range [0, 255]
     else:
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     return out
@@ -207,7 +219,7 @@ def quantize_tree(
                     for i in range(k.shape[0])
                 ]
                 stacked: Params = {
-                    key: jnp.stack([p[key] for p in per]) for key in per[0]
+                    key: np.stack([p[key] for p in per]) for key in per[0]
                 }
                 stacked["bias"] = params.get("bias")
                 return stacked

@@ -1,4 +1,4 @@
-from .mesh import create_mesh, local_mesh  # noqa: F401
+from .mesh import create_mesh, init_distributed, local_mesh  # noqa: F401
 from .sharding import (  # noqa: F401
     data_sharding,
     mmdit_shardings,

@@ -88,11 +88,22 @@ def image_psnr(reference, image) -> float:
 
 def tree_num_params(tree) -> int:
     """Total parameter count of a pytree (reference utils.py:16-49
-    ``_load_weights`` param-count validation role)."""
+    ``_load_weights`` param-count validation role).
+
+    int4-packed leaves (uint32 "q4" words, ops/quantized.py) count as the 8
+    weights they carry, so a 12B int4 model reports 12B, not 1.5B; the
+    per-group scales/zeros count as themselves (they are real memory).
+    """
     import jax
     import numpy as np
 
-    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))
+    total = 0
+    for path, x in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        n = int(np.prod(x.shape))
+        if any(getattr(p, "key", None) == "q4" for p in path):
+            n *= 8
+        total += n
+    return total
 
 
 def inference_context() -> Dict[str, object]:

@@ -131,3 +131,30 @@ def test_int8_pallas_kernel_interpret_matches_xla():
     want = np.asarray(x) @ np.asarray(_dequant(p, jnp.float32)) + np.asarray(p["bias"])
     got = np.asarray(int8_linear(p, x, bm=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_native_int4_quantizer_matches_numpy():
+    """native/dkio.cpp dk_quantize_int4 must be bit-identical to the numpy
+    quantization path (same min/max affine, same rounding, same packing)."""
+    import numpy as np
+
+    from diffusionkit_tpu import native
+    from diffusionkit_tpu.ops.quantized import quantize_kernel_host
+
+    if native.quantize_int4(np.zeros((8, 8), np.float32), 8) is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rs = np.random.RandomState(7)
+    w = rs.randn(256, 192).astype(np.float32)
+    got = native.quantize_int4(w, 32)
+
+    orig = native.quantize_int4
+    native.quantize_int4 = lambda *a, **k: None  # force the numpy path
+    try:
+        want = quantize_kernel_host(w, 4, 32)
+    finally:
+        native.quantize_int4 = orig
+    np.testing.assert_array_equal(got["q4"], np.asarray(want["q4"]))
+    np.testing.assert_array_equal(got["scales"], np.asarray(want["scales"]))
+    np.testing.assert_array_equal(got["zeros"], np.asarray(want["zeros"]))

@@ -1,0 +1,58 @@
+"""Serving throughput: batched multi-prompt generation at concurrency 1/4/8.
+
+Measures pipeline.generate_images_batched (the batching server's fast path)
+on the FLUX.1-schnell int4 checkpoint mirror at 512^2, 4 steps — the round-1
+serving config whose lock-serialized baseline was ~80 images/min. Prints one
+JSON line per batch size.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault(
+        "DIFFUSIONKIT_TPU_CKPT_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".ckpt_mirror"),
+    )
+    from diffusionkit_tpu.pipeline import FluxPipeline
+
+    pipe = FluxPipeline(
+        model_version="argmaxinc/mlx-FLUX.1-schnell-4bit-quantized",
+        low_memory_mode=False, use_scan=True,
+    )
+    prompts = [f"a photo of a cat number {i}" for i in range(8)]
+    for batch in (1, 4, 8):
+        texts = prompts[:batch]
+        seeds = list(range(batch))
+        # compile
+        imgs = pipe.generate_images_batched(
+            texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64), seeds=seeds
+        )
+        np.asarray(imgs[0])
+        t0 = time.perf_counter()
+        n_runs = 3
+        for r in range(n_runs):
+            imgs = pipe.generate_images_batched(
+                texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64),
+                seeds=[s + r for s in seeds],
+            )
+            np.asarray(imgs[-1])
+        dt = (time.perf_counter() - t0) / n_runs
+        print(json.dumps({
+            "metric": "flux_int4_512_4step_images_per_min",
+            "batch": batch,
+            "s_per_batch": round(dt, 3),
+            "images_per_min": round(60.0 * batch / dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
