@@ -7,9 +7,11 @@ attention heads and MLP hidden units split across chips; fan-in projections
 (o, fc2, wo) are row-sharded so their matmul produces partial sums that XLA
 reduces with one psum per block over ICI. Everything small (modulation,
 embedders, norms, final layer) is replicated. Activations stay sharded
-head-wise through attention — including the Pallas flash kernel, which runs
-per-shard under shard_map-free GSPMD because its batch*heads grid axis is
-already partitioned.
+head-wise through attention. XLA cannot auto-partition a ``pallas_call``, so
+under a mesh the flash kernel is explicitly wrapped in ``shard_map`` with the
+head axis mapped to ``model`` (ops/attention.py:_flash_tp) — the heads are
+already sharded there by the column plan, so it runs on local heads with no
+extra collectives.
 
 Shardings are assigned by pytree path rules, so they apply uniformly to the
 stacked (scanned) block parameters: a stacked kernel (L, in, out) gets the

@@ -1,0 +1,143 @@
+"""Profile the jitted SD3/FLUX CFG denoise step on the TPU and print an
+HLO-level time breakdown.
+
+Captures a jax.profiler trace around a chained-step run (the verify-skill
+timing recipe), then converts the xplane.pb with xprof's native converter to
+the hlo_stats table and aggregates self-time by op category — the data the
+round-2 perf push needs: is the step matmul-bound, and where do the
+non-matmul milliseconds go?
+
+Usage:  python tools/profile_step.py [sd3|flux-int4] [out.json]
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_STEPS = 8
+
+
+def build_step(mode: str):
+    from diffusionkit_tpu.config import FLUX_SCHNELL, SD3_2b
+    from diffusionkit_tpu.models import init_mmdit_params
+    from diffusionkit_tpu.pipeline import _denoise_step
+
+    if mode == "flux-int4":
+        config = FLUX_SCHNELL
+        params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+        latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
+        cond = jnp.zeros((1, 256, 4096), config.dtype)
+        pooled = jnp.zeros((1, 768), config.dtype)
+        cfg, cfg_on = 0.0, False
+    else:
+        config = SD3_2b
+        params = init_mmdit_params(jax.random.PRNGKey(0), config)
+        latent = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32)
+        cond = jnp.zeros((2, 154, 4096), config.dtype)
+        pooled = jnp.zeros((2, 2048), config.dtype)
+        cfg, cfg_on = 5.0, True
+    jax.block_until_ready(params)
+    sigmas = np.linspace(1.0, 0.0, N_STEPS + 2).astype(np.float32)
+
+    def step(x, i):
+        return _denoise_step(
+            params, x,
+            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
+            cond, pooled, jnp.asarray(cfg, jnp.float32), None, config, cfg_on, None,
+        )
+
+    return step, latent
+
+
+def hlo_breakdown(logdir: str):
+    from xprof.convert import raw_to_tool_data
+
+    paths = sorted(glob.glob(os.path.join(logdir, "plugins/profile/*/")))
+    if not paths:
+        raise SystemExit(f"no profile dirs under {logdir}")
+    sess = paths[-1]
+    xplanes = glob.glob(os.path.join(sess, "*.xplane.pb"))
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    return json.loads(data)
+
+
+def aggregate(table):
+    """hlo_stats arrives as gviz JSON: {cols: [...], rows: [{c: [{v:..}]}]}."""
+    cols = [c.get("label") or c.get("id") for c in table["cols"]]
+
+    def idx(*names):
+        for n in names:
+            if n in cols:
+                return cols.index(n)
+        return None
+
+    i_cat = idx("HLO op category", "category")
+    i_self = idx("Total self time (us)", "total_self_time_us", "Avg. self time (us)")
+    i_name = idx("HLO op expression", "HLO op name", "hlo_op_name")
+    i_occ = idx("#Occurrences", "occurrences")
+    by_cat, top_ops = {}, []
+    for row in table["rows"]:
+        c = row["c"]
+        cat = c[i_cat]["v"] if i_cat is not None else "?"
+        self_us = float(c[i_self]["v"] or 0) if i_self is not None else 0.0
+        by_cat[cat] = by_cat.get(cat, 0.0) + self_us
+        top_ops.append(
+            {
+                "cat": cat,
+                "self_us": self_us,
+                "occ": (c[i_occ]["v"] if i_occ is not None else None),
+                "op": (str(c[i_name]["v"])[:160] if i_name is not None else "?"),
+            }
+        )
+    top_ops.sort(key=lambda r: -r["self_us"])
+    return by_cat, top_ops[:25], cols
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sd3"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/profile_{mode}.json"
+    logdir = f"/tmp/jaxprof_{mode}"
+    step, x0 = build_step(mode)
+
+    # compile + settle
+    x = step(x0, 0)
+    _ = np.asarray(x)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(logdir):
+        for i in range(N_STEPS):
+            x = step(x, 1 + i)
+        _ = np.asarray(x)
+    wall_ms = (time.perf_counter() - t0) / N_STEPS * 1000
+
+    by_cat, top, cols = aggregate(hlo_breakdown(logdir))
+    total_us = sum(by_cat.values())
+    report = {
+        "mode": mode,
+        "wall_ms_per_step": round(wall_ms, 2),
+        "device_total_ms_per_step": round(total_us / 1e3 / N_STEPS, 2),
+        "by_category_ms_per_step": {
+            k: round(v / 1e3 / N_STEPS, 3)
+            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        },
+        "top_ops_us_total": top,
+        "cols": cols,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: report[k] for k in
+                      ("mode", "wall_ms_per_step", "device_total_ms_per_step",
+                       "by_category_ms_per_step")}, indent=1))
+    print("full report:", out_path)
+
+
+if __name__ == "__main__":
+    main()
