@@ -23,6 +23,10 @@ def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     so every model works unchanged with int4/int8 checkpoints.
     """
     if "kernel" not in params:
+        if "w8" in params:
+            from .w8a8 import w8a8_linear
+
+            return w8a8_linear(params, x)
         from .quantized import quantized_linear
 
         return quantized_linear(params, x)

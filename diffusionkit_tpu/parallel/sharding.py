@@ -37,7 +37,10 @@ _ROW_PARENTS = {"o", "fc2", "out_proj", "wo"}
 # Weight-only-quantized leaves (ops/quantized.py): q4 (in/8, out),
 # q8 (in, out), scales/zeros (in/groups, out) — all share the kernel's
 # (in, out) axis meaning, so the same column/row placement applies.
-_KERNEL_LIKE = {"kernel", "q4", "q8", "scales", "zeros"}
+# w8 (in, out) is the w8a8 execution format (ops/w8a8.py); its per-channel
+# wscale (out,) follows the bias rule (column-sharded under fan-out parents,
+# replicated under fan-in parents).
+_KERNEL_LIKE = {"kernel", "q4", "q8", "scales", "zeros", "w8"}
 
 
 def _spec_for(path, leaf, axis: str, axis_size: int) -> P:
@@ -54,7 +57,7 @@ def _spec_for(path, leaf, axis: str, axis_size: int) -> P:
         parts[leaf.ndim - dim_from_end] = axis
         return P(*parts)
 
-    if parent in _COL_PARENTS and (name in _KERNEL_LIKE or name == "bias"):
+    if parent in _COL_PARENTS and (name in _KERNEL_LIKE or name in ("bias", "wscale")):
         return spec(1)
     if parent in _ROW_PARENTS and name in _KERNEL_LIKE:
         return spec(2)

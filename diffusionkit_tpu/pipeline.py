@@ -293,13 +293,23 @@ class DiffusionPipeline:
             self.model_version, self.dtype, self.local_ckpt,
             to_device=self.mesh is None and not self.quantize_mmdit,
         )
-        if self.quantize_mmdit and self.model_version not in model_io.QUANTIZED_CKPT:
-            # int4 weight-only quantisation at load, on the host tree BEFORE
-            # device placement/sharding
-            # (reference FluxPipeline(quantize_mmdit=True), mlx/__init__.py:605-625).
-            from .ops.quantized import quantize_tree
+        if self.quantize_mmdit:
+            # Quantisation at load, on the host tree BEFORE device placement/
+            # sharding (reference FluxPipeline(quantize_mmdit=True),
+            # mlx/__init__.py:605-625). quantize_mmdit=True means int4
+            # weight-only; the string modes extend it: "int8" (weight-only)
+            # and "w8a8" (int8 weights x dynamic int8 activations — runs the
+            # matmuls on the 2x-rate int8 MXU path, ops/w8a8.py; also valid
+            # on top of a 4-bit checkpoint, re-sampling its group grid).
+            mode = self.quantize_mmdit if isinstance(self.quantize_mmdit, str) else "int4"
+            if mode == "w8a8":
+                from .ops.w8a8 import w8a8_tree
 
-            params = quantize_tree(params, bits=4)
+                params = w8a8_tree(params)
+            elif self.model_version not in model_io.QUANTIZED_CKPT:
+                from .ops.quantized import quantize_tree
+
+                params = quantize_tree(params, bits={"int4": 4, "int8": 8}[mode])
         if self.mesh is not None:
             from .parallel import mmdit_shardings, shard_params
 

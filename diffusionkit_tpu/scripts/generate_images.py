@@ -92,10 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Write a jax.profiler trace of the denoise loop to this directory",
     )
     parser.add_argument(
-        "--quantize-mmdit", action="store_true",
-        help="Quantize the MMDiT to int4 weight-only at load (the reference's "
-             "FluxPipeline(quantize_mmdit=True); required to fit the 12B FLUX "
-             "bf16 checkpoints on one 16 GB chip)",
+        "--quantize-mmdit", nargs="?", const="int4", default=None,
+        choices=["int4", "int8", "w8a8"],
+        help="Quantize the MMDiT at load. Bare flag = int4 weight-only (the "
+             "reference's FluxPipeline(quantize_mmdit=True); required to fit "
+             "the 12B FLUX bf16 checkpoints on one 16 GB chip). 'w8a8' runs "
+             "int8 weights x dynamic int8 activations on the 2x-rate int8 "
+             "MXU path (ops/w8a8.py)",
     )
     parser.add_argument(
         "--use-scan", action=argparse.BooleanOptionalAction, default=True,
