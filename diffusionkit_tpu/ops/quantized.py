@@ -164,6 +164,13 @@ def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """
     if _quant_kernel_eligible(p, x):
         if "q4" in p:
+            if "wscale" in p:
+                # w4a8 mode (ops/w4a8_matmul.py): int8 MXU at 2x the bf16
+                # rate; engaged by pipeline quantize_mmdit="w4a8", which adds
+                # the per-channel wscale leaves.
+                from .w4a8_matmul import w4a8_linear
+
+                return w4a8_linear(p, x)
             from .int4_matmul import int4_linear
 
             return int4_linear(p, x)

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: int4-packed weights x int8 activations on the int8 MXU.
+
+The int4 fused-dequant kernel (ops/int4_matmul.py) keeps weights packed in
+HBM but runs the MXU at the bf16 rate. TPU v5e+ executes int8 x int8 -> int32
+matmuls at TWICE that rate, so for the compute-bound FLUX denoise step this
+kernel raises the speed-of-light by ~2x while keeping the 4-bit HBM footprint
+(12B on one 16 GB v5e) — the QServe-style two-level scheme:
+
+  load:   per-channel ``wscale[n] = max_k |dequant(w)[k, n]| / 127``
+  kernel: unpack int4 tile -> group-affine dequant (VPU, same work the bf16
+          kernel already does) -> requantize to int8 on the per-channel grid
+          -> int8 dot, int32 accumulation
+  caller: pre-quantizes activations per token (ops/w8a8.quantize_activations,
+          a fused XLA pass) and applies ``xscale * wscale`` + bias to the
+          int32 result (fuses into the kernel's consumer).
+
+Accuracy: the requantized int8 grid (255 levels over the channel range) is
+finer than the int4 grid (16 levels per group) whenever a group spans >~6% of
+the channel range, so the added weight error is small next to the int4 error
+already present; activations add the usual dynamic-int8 term. Validated
+against the bf16 dequant path in tests/test_w8a8.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_ref,       # (bm, bk) int8 — pre-quantized activations
+    q_ref,       # (bk/8, bn) uint32 packed int4
+    s_ref,       # (bk/g, bn) f32 group scales
+    z_ref,       # (bk/g, bn) f32 group zeros
+    ws_ref,      # (1, bn) f32 per-channel scale (int8 grid)
+    o_ref,       # (bm, bn) int32
+    acc_ref,     # (bm, bn) int32 scratch
+    *,
+    group_size: int,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[...]
+    bk8, bn = packed.shape
+    shifts = (jax.lax.broadcasted_iota(jnp.uint32, (1, 8, 1), 1) * 4)
+    vals = (packed[:, None, :] >> shifts) & jnp.uint32(0xF)
+    q = vals.reshape(bk8 * 8, bn).astype(jnp.int32).astype(jnp.float32)
+    gper = s_ref.shape[0]
+    scales = jnp.broadcast_to(
+        s_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    zeros = jnp.broadcast_to(
+        z_ref[...][:, None, :], (gper, group_size, bn)
+    ).reshape(gper * group_size, bn)
+    w = q * scales + zeros
+    # Requantize onto the per-channel int8 grid (round-half-even like the
+    # host quantizers; exact grid membership is what the parity test pins).
+    w8 = jnp.clip(jnp.round(w / ws_ref[...]), -127, 127).astype(jnp.int8)
+
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w8, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+def w4a8_matmul(
+    x8: jnp.ndarray,
+    q4: jnp.ndarray,
+    scales: jnp.ndarray,
+    zeros: jnp.ndarray,
+    wscale: jnp.ndarray,
+    bm: int = 256,
+    bk: int = 512,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """acc[M, N] int32 = x8[M, K] @ requant_int8(dequant(q4, scales, zeros)).
+
+    The caller applies ``xscale * wscale`` (and bias) to the int32 result.
+    """
+    m, k = x8.shape
+    k8, n = q4.shape
+    assert k8 * 8 == k, (k8, k)
+    groups = scales.shape[0]
+    assert k % groups == 0
+    group_size = k // groups
+    assert bk % group_size == 0 and k % bk == 0 and n % bn == 0, (k, n, bk, bn)
+
+    pad_m = (-m) % bm
+    if pad_m:
+        x8 = jnp.pad(x8, ((0, pad_m), (0, 0)))
+    mp = x8.shape[0]
+    gper = bk // group_size
+    out = pl.pallas_call(
+        functools.partial(_kernel, group_size=group_size),
+        grid=(mp // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk // 8, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k + k8 * n * 4 + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, q4, scales.astype(jnp.float32), zeros.astype(jnp.float32),
+      wscale.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
+def wscale_from_q4_host(p) -> "jnp.ndarray":
+    """Per-channel int8-grid scale for an int4 group-affine param dict,
+    computed from the exact dequantized extrema (host numpy)."""
+    import numpy as np
+
+    packed = np.asarray(jax.device_get(p["q4"]))
+    in8, out_dim = packed.shape
+    q = np.empty((in8, 8, out_dim), np.float32)
+    for j in range(8):
+        q[:, j, :] = ((packed >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.float32)
+    q = q.reshape(in8 * 8, out_dim)
+    scales = np.asarray(jax.device_get(p["scales"]), np.float32)
+    zeros = np.asarray(jax.device_get(p["zeros"]), np.float32)
+    g = q.shape[0] // scales.shape[0]
+    w = q * np.repeat(scales, g, axis=0) + np.repeat(zeros, g, axis=0)
+    return np.maximum(np.abs(w).max(axis=0), 1e-8).astype(np.float32) / 127.0
+
+
+def add_wscale_tree(params):
+    """Add per-channel "wscale" leaves to every int4 param dict in a tree,
+    making them w4a8-kernel eligible. Host numpy; stacked (L, ...) q4 leaves
+    get stacked (L, N) scales so scan/sharding structure is preserved."""
+    import numpy as np
+
+    if isinstance(params, dict):
+        if "q4" in params and "wscale" not in params:
+            q4 = params["q4"]
+            out = dict(params)
+            if q4.ndim == 2:
+                out["wscale"] = wscale_from_q4_host(params)
+            else:
+                out["wscale"] = np.stack([
+                    wscale_from_q4_host(
+                        {k: v[i] for k, v in params.items()
+                         if k in ("q4", "scales", "zeros")}
+                    )
+                    for i in range(q4.shape[0])
+                ])
+            return out
+        return {k: add_wscale_tree(v) for k, v in params.items()}
+    if isinstance(params, list):
+        return [add_wscale_tree(v) for v in params]
+    return params
+
+
+def w4a8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Apply an int4-quantized linear param dict carrying a per-channel
+    "wscale" leaf via the w4a8 kernel. x: (..., K) -> (..., N)."""
+    from .int4_matmul import _largest_divisor_block, pick_k_block
+    from .w8a8 import quantize_activations
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = p["q4"].shape[-1]
+    group = k // p["scales"].shape[-2]
+    bk = pick_k_block(k, group)
+    bn = _largest_divisor_block(n, 128, 1024)
+    # VMEM guard: unpack int32 + f32 dequant + int8 requant temporaries are
+    # ~9 bytes per (bk, bn) element.
+    while bk * bn * 9 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
+        bn //= 2
+    x8, xscale = quantize_activations(x.reshape(-1, k))
+    acc = w4a8_matmul(
+        x8, p["q4"], p["scales"], p["zeros"], p["wscale"],
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
+    )
+    y = acc.astype(jnp.float32) * xscale * p["wscale"].astype(jnp.float32)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.reshape(*lead, n).astype(x.dtype)

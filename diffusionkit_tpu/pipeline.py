@@ -297,19 +297,27 @@ class DiffusionPipeline:
             # Quantisation at load, on the host tree BEFORE device placement/
             # sharding (reference FluxPipeline(quantize_mmdit=True),
             # mlx/__init__.py:605-625). quantize_mmdit=True means int4
-            # weight-only; the string modes extend it: "int8" (weight-only)
-            # and "w8a8" (int8 weights x dynamic int8 activations — runs the
-            # matmuls on the 2x-rate int8 MXU path, ops/w8a8.py; also valid
-            # on top of a 4-bit checkpoint, re-sampling its group grid).
+            # weight-only; the string modes extend it: "int8" (weight-only),
+            # "w8a8" (int8 weights x dynamic int8 activations on the 2x-rate
+            # int8 MXU path, ops/w8a8.py; also valid on top of a 4-bit
+            # checkpoint), and "w4a8" (int4 HBM footprint + in-kernel int8
+            # requant feeding the int8 MXU, ops/w4a8_matmul.py — the
+            # single-16GB-chip configuration for 12B FLUX).
             mode = self.quantize_mmdit if isinstance(self.quantize_mmdit, str) else "int4"
             if mode == "w8a8":
                 from .ops.w8a8 import w8a8_tree
 
                 params = w8a8_tree(params)
-            elif self.model_version not in model_io.QUANTIZED_CKPT:
-                from .ops.quantized import quantize_tree
+            else:
+                if self.model_version not in model_io.QUANTIZED_CKPT:
+                    from .ops.quantized import quantize_tree
 
-                params = quantize_tree(params, bits={"int4": 4, "int8": 8}[mode])
+                    params = quantize_tree(params, bits=8 if mode == "int8" else 4)
+                if mode == "w4a8":
+                    # int4 HBM footprint + int8 MXU rate (ops/w4a8_matmul.py).
+                    from .ops.w4a8_matmul import add_wscale_tree
+
+                    params = add_wscale_tree(params)
         if self.mesh is not None:
             from .parallel import mmdit_shardings, shard_params
 

@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--quantize-mmdit", nargs="?", const="int4", default=None,
-        choices=["int4", "int8", "w8a8"],
+        choices=["int4", "int8", "w8a8", "w4a8"],
         help="Quantize the MMDiT at load. Bare flag = int4 weight-only (the "
              "reference's FluxPipeline(quantize_mmdit=True); required to fit "
              "the 12B FLUX bf16 checkpoints on one 16 GB chip). 'w8a8' runs "

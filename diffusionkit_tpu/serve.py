@@ -261,7 +261,7 @@ def main(argv=None):
     ap.add_argument("--t5", action="store_true")
     ap.add_argument("--use-scan", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--quantize-mmdit", nargs="?", const="int4", default=None,
-                    choices=["int4", "int8", "w8a8"])
+                    choices=["int4", "int8", "w8a8", "w4a8"])
     ap.add_argument("--max-batch", type=int, default=8)
     args = ap.parse_args(argv)
 

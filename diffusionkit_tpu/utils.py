@@ -145,6 +145,12 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
         return
     import jax
 
+    # CPU programs compile in seconds and XLA:CPU AOT entries are
+    # host-CPU-feature specific (cached entries from another machine load
+    # with SIGILL-risk warnings), so the persistent cache is TPU/GPU-only.
+    if jax.default_backend() == "cpu" and not env:
+        return
+
     cache_dir = os.path.expanduser(env or "~/.cache/diffusionkit_tpu/xla")
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -1,0 +1,117 @@
+"""w4a8 Pallas kernel tests (ops/w4a8_matmul.py): int4-packed weights
+requantized in-kernel onto a per-channel int8 grid, int8 x int8 -> int32 dot.
+
+Interpret mode on CPU; the on-chip lowering (int8 MXU path) is exercised by
+the TPU bench/E2E runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionkit_tpu.ops.quantized import quantize_kernel_host
+from diffusionkit_tpu.ops.w4a8_matmul import (
+    add_wscale_tree,
+    w4a8_linear,
+    w4a8_matmul,
+    wscale_from_q4_host,
+)
+from diffusionkit_tpu.ops.w8a8 import quantize_activations
+
+
+def _dequant_np(p):
+    packed = np.asarray(p["q4"])
+    in8, out = packed.shape
+    q = np.empty((in8, 8, out), np.float32)
+    for j in range(8):
+        q[:, j, :] = ((packed >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.float32)
+    q = q.reshape(in8 * 8, out)
+    g = q.shape[0] // p["scales"].shape[0]
+    return q * np.repeat(np.asarray(p["scales"]), g, 0) + np.repeat(
+        np.asarray(p["zeros"]), g, 0
+    )
+
+
+def test_w4a8_matmul_matches_reference_int_math():
+    """Kernel result == numpy emulation of the exact same two-level math."""
+    rs = np.random.RandomState(0)
+    K, N, M = 256, 128, 16
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    wscale = wscale_from_q4_host(p)
+    x = rs.randn(M, K).astype(np.float32)
+    x8, xs = quantize_activations(jnp.asarray(x))
+
+    acc = np.asarray(
+        w4a8_matmul(
+            x8, jnp.asarray(p["q4"]), jnp.asarray(p["scales"]),
+            jnp.asarray(p["zeros"]), jnp.asarray(wscale),
+            bm=8, bk=128, bn=128, interpret=True,
+        )
+    )
+    w4 = _dequant_np(p)
+    w8 = np.clip(np.round(w4 / wscale[None, :]), -127, 127).astype(np.int32)
+    want = np.asarray(x8, np.int32) @ w8
+    np.testing.assert_array_equal(acc, want)
+
+
+def test_w4a8_linear_close_to_int4_dequant():
+    rs = np.random.RandomState(1)
+    K, N = 256, 128
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(p))
+    x = jnp.asarray(rs.randn(3, 5, K).astype(np.float32))
+
+    got = np.asarray(w4a8_linear(p, x, bm=8, interpret=True))
+    w4 = _dequant_np(p)
+    want = np.asarray(x).reshape(-1, K) @ w4 + np.asarray(p["bias"])
+    want = want.reshape(3, 5, N)
+    denom = np.abs(want).max()
+    rel = np.abs(got - want).max() / denom
+    # int8 requant of int4 values + dynamic int8 activations: small on top
+    # of the int4 error itself.
+    assert rel < 0.03, rel
+
+
+def test_add_wscale_tree_stacked():
+    rs = np.random.RandomState(2)
+    kernels = np.stack([rs.randn(128, 64).astype(np.float32) * 0.05 for _ in range(3)])
+    per = [quantize_kernel_host(kernels[i], bits=4, group_size=64) for i in range(3)]
+    stacked = {k: np.stack([p[k] for p in per]) for k in per[0]}
+    stacked["bias"] = None
+    tree = {"blocks": {"q": stacked}, "other": {"kernel": kernels[0], "bias": None}}
+    out = add_wscale_tree(tree)
+    ws = out["blocks"]["q"]["wscale"]
+    assert ws.shape == (3, 64)
+    for i in range(3):
+        np.testing.assert_allclose(ws[i], wscale_from_q4_host(per[i]), rtol=1e-6)
+    assert "wscale" not in out["other"]
+
+
+def test_pipeline_w4a8_mode_tiny():
+    """quantize_mmdit='w4a8' on a tiny pipeline: wscale leaves added, image
+    generated (CPU falls back to the dequant path for the actual matmul)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pipeline import build_sd3_pipeline
+
+    from diffusionkit_tpu.ops.quantized import quantize_tree
+
+    pipe = build_sd3_pipeline()
+    pipe.mmdit_params = jax.tree.map(
+        jnp.asarray,
+        add_wscale_tree(quantize_tree(pipe.mmdit_params, bits=4, group_size=16, min_size=1)),
+    )
+    paths = {
+        ".".join(str(getattr(p, "key", p)) for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(pipe.mmdit_params)[0]
+    }
+    assert any(p.endswith("wscale") for p in paths), sorted(paths)[:10]
+    img, _ = pipe.generate_image(
+        "a cat", num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seed=7,
+        verbose=False,
+    )
+    assert np.asarray(img).shape == (64, 64, 3)
