@@ -96,7 +96,7 @@ def bench_sd3():
     }
 
 
-def bench_flux_int4():
+def bench_flux_int4(mode: str = "int4"):
     from diffusionkit_tpu.config import FLUX_SCHNELL
     from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
@@ -104,6 +104,10 @@ def bench_flux_int4():
 
     config = FLUX_SCHNELL
     params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+    if mode == "w4a8":
+        from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
+
+        params = add_wscale_bound_tree(params)
     jax.block_until_ready(params)
 
     latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
@@ -124,7 +128,7 @@ def bench_flux_int4():
     flops = mmdit_step_flops(config, (128, 128), 256, cfg=False)["total"]
     tflops, mfu = _mfu(flops, ms)
     return {
-        "metric": "flux_schnell_int4_1024_s_per_image_4step",
+        "metric": f"flux_schnell_{mode}_1024_s_per_image_4step",
         "value": round(s_image, 3),
         "unit": "s",
         "vs_baseline": round(2.0 / s_image, 3),
@@ -134,7 +138,52 @@ def bench_flux_int4():
             "achieved_tflops": tflops,
             "mfu_vs_bf16_peak": mfu,
             "timed_steps": n,
-            "weights": "int4 weight-only (12B on one chip)",
+            "weights": {
+                "int4": "int4 weight-only (12B on one chip)",
+                "w4a8": "int4 packed + in-kernel int8 requant on the int8 MXU",
+            }[mode],
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def bench_sd3_w8a8():
+    """SD3-medium step with w8a8 (int8 MXU) weights — the 2x-ceiling mode."""
+    from diffusionkit_tpu.config import SD3_2b
+    from diffusionkit_tpu.flops import mmdit_step_flops
+    from diffusionkit_tpu.models import init_mmdit_params
+    from diffusionkit_tpu.pipeline import _denoise_step
+
+    config = SD3_2b
+    params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits="w8a8")
+    jax.block_until_ready(params)
+    latent = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32)
+    cond = jnp.zeros((2, 154, 4096), config.dtype)
+    pooled = jnp.zeros((2, 2048), config.dtype)
+    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
+
+    def step(x, i):
+        return _denoise_step(
+            params, x,
+            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
+            cond, pooled, jnp.asarray(5.0, jnp.float32), None, config, True, None,
+        )
+
+    ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
+    flops = mmdit_step_flops(config, (64, 64), 154, cfg=True)["total"]
+    tflops, mfu = _mfu(flops, ms)
+    return {
+        "metric": "sd3_medium_512_cfg_w8a8_denoise_ms_per_step",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(100.0 / ms, 3),
+        "extra": {
+            "s_per_image_50step": round(ms * 50 / 1000, 3),
+            "step_tflop": round(flops / 1e12, 2),
+            "achieved_tflops": tflops,
+            "mfu_vs_bf16_peak": mfu,
+            "timed_steps": NUM_STEPS_TIMED,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
@@ -185,7 +234,12 @@ def bench_sd3_e2e():
 
 def main():
     mode = os.environ.get("BENCH_MODEL", "sd3")
-    fn = {"flux-int4": bench_flux_int4, "sd3-e2e": bench_sd3_e2e}.get(mode, bench_sd3)
+    fn = {
+        "flux-int4": bench_flux_int4,
+        "flux-w4a8": lambda: bench_flux_int4("w4a8"),
+        "sd3-e2e": bench_sd3_e2e,
+        "sd3-w8a8": bench_sd3_w8a8,
+    }.get(mode, bench_sd3)
     print(json.dumps(fn()))
 
 

@@ -390,7 +390,12 @@ def _init_block(
     keys = jax.random.split(key, 8)
     dtype = config.dtype
 
-    if quantize_bits is not None:
+    if quantize_bits == "w8a8":
+        from ..ops.w8a8 import random_w8a8_linear
+
+        def lin(k, d_in, d_out, bias=True):
+            return random_w8a8_linear(k, d_in, d_out, bias=bias, dtype=dtype)
+    elif quantize_bits is not None:
         from ..ops.quantized import random_quantized_linear
 
         def lin(k, d_in, d_out, bias=True):
@@ -424,9 +429,10 @@ def init_mmdit_params(
 ) -> Params:
     """Random parameters with checkpoint-compatible shapes.
 
-    ``quantize_bits`` (4 or 8) generates block weights DIRECTLY in the
-    weight-only-quantized format of ops/quantized.py — required to stand up
-    models whose unquantized weights exceed HBM (12B FLUX on one v5e).
+    ``quantize_bits`` (4, 8, or "w8a8") generates block weights DIRECTLY in
+    the quantized execution formats of ops/quantized.py / ops/w8a8.py —
+    required to stand up models whose unquantized weights exceed HBM
+    (12B FLUX on one v5e).
     """
     H = config.hidden_size
     dtype = config.dtype

@@ -149,6 +149,27 @@ def wscale_from_q4_host(p) -> "jnp.ndarray":
     return np.maximum(np.abs(w).max(axis=0), 1e-8).astype(np.float32) / 127.0
 
 
+def add_wscale_bound_tree(params):
+    """Device-side wscale from the group-affine bounds, no nibble unpack:
+    per channel, max_g max(|z|, |z + 15 s|) bounds |dequant(w)| and the two
+    extremes are attained in practice (each group's min/max hit q=0 and
+    q=15 by construction of the min/max affine). Used for random-weight
+    benchmarks where a 12B host round trip is not worth it; loaders use the
+    exact ``add_wscale_tree``."""
+    if isinstance(params, dict):
+        if "q4" in params and "wscale" not in params:
+            s = jnp.asarray(params["scales"], jnp.float32)
+            z = jnp.asarray(params["zeros"], jnp.float32)
+            amax = jnp.maximum(jnp.abs(z), jnp.abs(z + 15.0 * s)).max(axis=-2)
+            out = dict(params)
+            out["wscale"] = jnp.maximum(amax, 1e-8) / 127.0
+            return out
+        return {k: add_wscale_bound_tree(v) for k, v in params.items()}
+    if isinstance(params, list):
+        return [add_wscale_bound_tree(v) for v in params]
+    return params
+
+
 def add_wscale_tree(params):
     """Add per-channel "wscale" leaves to every int4 param dict in a tree,
     making them w4a8-kernel eligible. Host numpy; stacked (L, ...) q4 leaves

@@ -114,6 +114,20 @@ def is_w8a8(p: Params) -> bool:
     return isinstance(p, dict) and "w8" in p
 
 
+def random_w8a8_linear(
+    key: "jax.Array", d_in: int, d_out: int, bias: bool = True,
+    scale: float = 0.02, dtype=jnp.bfloat16,
+) -> Params:
+    """Random weights generated DIRECTLY in w8a8 execution format (for
+    benchmarks of models too large to materialize in float first)."""
+    p: Params = {
+        "w8": jax.random.randint(key, (d_in, d_out), -127, 128, dtype=jnp.int32).astype(jnp.int8),
+        "wscale": jnp.full((d_out,), scale / 127.0, jnp.float32),
+        "bias": jnp.zeros((d_out,), dtype) if bias else None,
+    }
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Pytree-level conversion
 # ---------------------------------------------------------------------------
