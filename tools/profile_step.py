@@ -29,7 +29,21 @@ def build_step(mode: str):
     from diffusionkit_tpu.models import init_mmdit_params
     from diffusionkit_tpu.pipeline import _denoise_step
 
-    if mode == "flux-int4":
+    if mode == "tiny":
+        # plumbing validation (CPU-friendly)
+        from diffusionkit_tpu.config import MMDiTConfig
+
+        config = MMDiTConfig(
+            depth_multimodal=2, hidden_size_override=64, num_heads=4,
+            max_latent_resolution=16, token_level_text_embed_dim=32,
+            pooled_text_embed_dim=48, dtype=jnp.float32,
+        )
+        params = init_mmdit_params(jax.random.PRNGKey(0), config)
+        latent = jnp.zeros((1, 8, 8, 16), jnp.float32)
+        cond = jnp.zeros((2, 10, 32), config.dtype)
+        pooled = jnp.zeros((2, 48), config.dtype)
+        cfg, cfg_on = 5.0, True
+    elif mode == "flux-int4":
         config = FLUX_SCHNELL
         params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
         latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
@@ -64,10 +78,16 @@ def hlo_breakdown(logdir: str):
         raise SystemExit(f"no profile dirs under {logdir}")
     sess = paths[-1]
     xplanes = glob.glob(os.path.join(sess, "*.xplane.pb"))
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    return json.loads(data)
+    for tool in ("hlo_stats", "framework_op_stats"):
+        data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, tool, {})
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", "replace")
+        parsed = json.loads(data)
+        tables = parsed if isinstance(parsed, list) else [parsed]
+        for t in tables:
+            if isinstance(t, dict) and t.get("rows"):
+                return t
+    raise SystemExit("no populated stats table in the trace")
 
 
 def aggregate(table):
@@ -80,13 +100,19 @@ def aggregate(table):
                 return cols.index(n)
         return None
 
-    i_cat = idx("HLO op category", "category")
-    i_self = idx("Total self time (us)", "total_self_time_us", "Avg. self time (us)")
-    i_name = idx("HLO op expression", "HLO op name", "hlo_op_name")
+    i_cat = idx("HLO op category", "category", "Operation Type")
+    i_self = idx(
+        "Total self time (us)", "total_self_time_us", "Total self-time (us)",
+        "Avg. self time (us)", "Total time (us)",
+    )
+    i_name = idx("HLO op expression", "HLO op name", "hlo_op_name", "Operation Name")
     i_occ = idx("#Occurrences", "occurrences")
+    i_dev = idx("Host/device")
     by_cat, top_ops = {}, []
     for row in table["rows"]:
         c = row["c"]
+        if i_dev is not None and str(c[i_dev]["v"]).lower() == "host":
+            continue
         cat = c[i_cat]["v"] if i_cat is not None else "?"
         self_us = float(c[i_self]["v"] or 0) if i_self is not None else 0.0
         by_cat[cat] = by_cat.get(cat, 0.0) + self_us
