@@ -4,10 +4,12 @@ TPU-native replacement for ``mx.fast.scaled_dot_product_attention`` and its
 memory-efficient threshold path (reference mmdit.py:19,562,636-639,687,729-732).
 Non-causal full attention with online softmax: the (S, S) score matrix is
 never materialised in HBM; each q tile streams kv tiles through VMEM and
-keeps fp32 running (max, denominator, accumulator) scratch. Default blocks
-(q 512, kv 1024) won an in-graph sweep on v5e: 12.7 ms vs 26.4 ms XLA SDPA
-at the FLUX 1024^2 joint sequence (s=4608, d=128), and ties XLA at the SD3
-512^2 shape (s=1178, d=64).
+keeps fp32 running (max, denominator, accumulator) scratch. Blocks are
+auto-picked per shape (pick_flash_blocks): a single whole-sequence kv tile
+whenever the f32 score buffer fits VMEM — one exp pass, no running-stat
+rescales — which beat the streaming 512/1024 tiling in on-chip sweeps at
+both headline shapes (SD3 512^2 s=1178 d=64: 0.60 vs 0.99 ms; FLUX 1024^2
+s=4352 d=128: 2.37 vs 2.97 ms; XLA SDPA: 1.13 / 14.5 ms).
 
 The joint sequence length (image tokens + text tokens, e.g. 4096 + 154 for
 SD3 at 1024x1024) is rarely a multiple of the kv tile, so inputs are padded to
@@ -91,6 +93,27 @@ def _pad_seq(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
+# Mosaic fits a single (q_blk, kv_blk) f32 score buffer in VMEM up to ~9 MB
+# (on-chip sweep: 512x4352 ok, 1280x1280 ok and fastest at the SD3 shape,
+# 2048x2048 fails to compile).
+_SCORE_BUDGET = 2_250_000  # f32 elements
+
+
+def pick_flash_blocks(s: int, d: int) -> tuple:
+    """Block sizes for a given joint sequence length.
+
+    Single-tile kv wins whenever the whole (padded) sequence fits the score
+    budget: one exp pass, no running-stat rescales (on-chip sweep, round 2:
+    SD3 s=1178 0.60 ms vs 0.99 at 512/1024; FLUX s=4352 2.37 vs 2.97).
+    Falls back to streaming 512/1024 tiles for very long sequences.
+    """
+    s128 = -(-s // 128) * 128
+    if s128 * 128 <= _SCORE_BUDGET:
+        q_blk = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
+        return q_blk, s128
+    return 512, 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "q_blk", "kv_blk", "interpret")
 )
@@ -99,16 +122,21 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    q_blk: int = 512,
-    kv_blk: int = 1024,
+    q_blk: int = 0,
+    kv_blk: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full (non-causal) attention over (B, H, S, D) inputs.
 
     Returns (B, H, S, D) in the input dtype. fp32 softmax statistics and
     accumulation; QK^T and PV ride the MXU in the input precision.
+    ``q_blk``/``kv_blk`` 0 = auto (pick_flash_blocks).
     """
     b, h, s, d = q.shape
+    if not q_blk or not kv_blk:
+        auto_q, auto_kv = pick_flash_blocks(s, d)
+        q_blk = q_blk or auto_q
+        kv_blk = kv_blk or auto_kv
     orig_s = s
     q = _pad_seq(q.reshape(b * h, s, d), q_blk)
     k = _pad_seq(k.reshape(b * h, s, d), kv_blk)

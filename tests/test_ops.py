@@ -199,6 +199,25 @@ def test_flash_attention_interpret_matches_xla():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+    # Auto blocks (single whole-seq kv tile at this length) agree too.
+    got_auto = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got_auto, want, atol=2e-3, rtol=1e-3)
+
+
+def test_pick_flash_blocks():
+    from diffusionkit_tpu.ops.flash_attention import pick_flash_blocks
+
+    assert pick_flash_blocks(1178, 64) == (1280, 1280)   # SD3 512^2
+    assert pick_flash_blocks(4352, 128) == (512, 4352)   # FLUX 1024^2
+    q, kv = pick_flash_blocks(33000, 128)                # beyond budget
+    assert (q, kv) == (512, 1024)
+    q, kv = pick_flash_blocks(300, 64)
+    assert kv == 384 and q == 384 and q % 128 == 0
 
 
 # ---------------------------------------------------------------------------
