@@ -150,15 +150,16 @@ def pick_k_block(k: int, group: int, cap: int = 1024, max_full_k: int = 8192) ->
 
 
 def int4_linear(
-    p, x: jnp.ndarray, bm: int = 256, bk: int = 0, bn: int = 0,
+    p, x: jnp.ndarray, bm: int = 0, bk: int = 0, bn: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Apply an int4-quantized linear param dict via the Pallas kernel.
 
     x: (..., K) -> (..., N). bk/bn default to the largest power-of-two block
     (<=512) dividing each dim, so non-power-of-two hiddens (SD3.5's 2432)
-    still qualify. Eligibility is checked by the caller
-    (ops/quantized.quantized_linear).
+    still qualify; bm 0 = auto (large blocks amortise the per-M-block
+    dequant, ops/w4a8_matmul.pick_m_block). Eligibility is checked by the
+    caller (ops/quantized.quantized_linear).
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -171,6 +172,13 @@ def int4_linear(
     # are ~8 bytes per (bk, bn) element; keep them under ~6 MB.
     while bk * bn * 8 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
         bn //= 2
+    if not bm:
+        from .w4a8_matmul import pick_m_block
+
+        m = 1
+        for dim in x.shape[:-1]:
+            m *= dim
+        bm = pick_m_block(m, bk, bn)
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
         bm=bm, bk=bk, bn=bn, interpret=interpret,
@@ -260,7 +268,7 @@ def int8_matmul(
     return out[:m]
 
 
-def int8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jnp.ndarray:
+def int8_linear(p, x: jnp.ndarray, bm: int = 0, interpret: bool = False) -> jnp.ndarray:
     """Apply an int8-quantized linear param dict via the Pallas kernel."""
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -270,6 +278,13 @@ def int8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jn
     bn = _largest_divisor_block(n, 128, 1024)
     while bk * bn * 8 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
         bn //= 2
+    if not bm:
+        from .w4a8_matmul import pick_m_block
+
+        m = 1
+        for dim in x.shape[:-1]:
+            m *= dim
+        bm = pick_m_block(m, bk, bn)
     y = int8_matmul(
         x.reshape(-1, k), p["q8"], p["scales"], p["zeros"],
         bm=bm, bk=bk, bn=bn, interpret=interpret,

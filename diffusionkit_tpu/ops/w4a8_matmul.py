@@ -131,6 +131,27 @@ def w4a8_matmul(
     return out[:m]
 
 
+def pick_m_block(m: int, bk: int, bn: int) -> int:
+    """M block for the quantized kernels.
+
+    The weight tile is unpacked+dequantized once per M block, so large bm
+    amortises the VPU work (on-chip: w4a8 at FLUX fc1 shape runs 2.90 ms at
+    bm=256 vs 2.08 ms at bm=1088; bm >= 2176 exceeds VMEM). Cost model:
+    padded-M rows of MXU work + one dequant pass per M block (~150
+    row-equivalents), under a VMEM cap on x tiles + the int32/f32 accumulator.
+    """
+    budget = 4_600_000  # bytes for x (double-buffered) + acc
+    best, best_cost = 256, float("inf")
+    for c in range(128, 1088 + 1, 64):
+        if c * (2 * bk + 4 * bn) > budget:
+            break
+        ru = -(-m // c) * c
+        cost = ru + (ru // c) * 150
+        if cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
 def wscale_from_q4_host(p) -> "jnp.ndarray":
     """Per-channel int8-grid scale for an int4 group-affine param dict,
     computed from the exact dequantized extrema (host numpy)."""
@@ -197,9 +218,9 @@ def add_wscale_tree(params):
     return params
 
 
-def w4a8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jnp.ndarray:
+def w4a8_linear(p, x: jnp.ndarray, bm: int = 0, interpret: bool = False) -> jnp.ndarray:
     """Apply an int4-quantized linear param dict carrying a per-channel
-    "wscale" leaf via the w4a8 kernel. x: (..., K) -> (..., N)."""
+    "wscale" leaf via the w4a8 kernel. x: (..., K) -> (..., N). bm 0 = auto."""
     from .int4_matmul import _largest_divisor_block, pick_k_block
     from .w8a8 import quantize_activations
 
@@ -213,6 +234,10 @@ def w4a8_linear(p, x: jnp.ndarray, bm: int = 256, interpret: bool = False) -> jn
     # ~9 bytes per (bk, bn) element.
     while bk * bn * 9 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
         bn //= 2
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    bm = bm or pick_m_block(m, bk, bn)
     x8, xscale = quantize_activations(x.reshape(-1, k))
     acc = w4a8_matmul(
         x8, p["q4"], p["scales"], p["zeros"], p["wscale"],
