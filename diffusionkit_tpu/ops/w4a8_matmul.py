@@ -7,12 +7,17 @@ kernel raises the speed-of-light by ~2x while keeping the 4-bit HBM footprint
 (12B on one 16 GB v5e) — the QServe-style two-level scheme:
 
   load:   per-channel ``wscale[n] = max_k |dequant(w)[k, n]| / 127``
-  kernel: unpack int4 tile -> group-affine dequant (VPU, same work the bf16
-          kernel already does) -> requantize to int8 on the per-channel grid
-          -> int8 dot, int32 accumulation
-  caller: pre-quantizes activations per token (ops/w8a8.quantize_activations,
-          a fused XLA pass) and applies ``xscale * wscale`` + bias to the
-          int32 result (fuses into the kernel's consumer).
+  caller: folds ``1/wscale`` into the group affine once per call
+          (``s8 = scales/wscale``, ``z8 = zeros/wscale`` — an O(K/g * N) XLA
+          pass) and pre-quantizes activations per token
+          (ops/w8a8.quantize_activations, a fused XLA pass)
+  kernel: unpack int4 tile -> single fused-multiply-add onto the int8 grid
+          (``round(q * s8 + z8)`` — no divide, no intermediate fp weight)
+          -> int8 dot, int32 accumulation; the epilogue
+          ``acc * xscale * wscale + bias -> out dtype`` runs IN-KERNEL so the
+          int32 accumulator never round-trips HBM (XLA cannot fuse into a
+          custom call; at FLUX fc1 shape the int32 write+read alone is
+          ~430 MB/layer).
 
 Accuracy: the requantized int8 grid (255 levels over the channel range) is
 finer than the int4 grid (16 levels per group) whenever a group spans >~6% of
@@ -34,10 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(
     x_ref,       # (bm, bk) int8 — pre-quantized activations
     q_ref,       # (bk/8, bn) uint32 packed int4
-    s_ref,       # (bk/g, bn) f32 group scales
-    z_ref,       # (bk/g, bn) f32 group zeros
+    s_ref,       # (bk/g, bn) f32 group scales on the int8 grid (scales/wscale)
+    z_ref,       # (bk/g, bn) f32 group zeros on the int8 grid (zeros/wscale)
     ws_ref,      # (1, bn) f32 per-channel scale (int8 grid)
-    o_ref,       # (bm, bn) int32
+    xs_ref,      # (bm, 128) f32 per-token activation scale (lane-broadcast)
+    b_ref,       # (1, bn) f32 bias (zeros when the layer has none)
+    o_ref,       # (bm, bn) out dtype
     acc_ref,     # (bm, bn) int32 scratch
     *,
     group_size: int,
@@ -61,10 +68,12 @@ def _kernel(
     zeros = jnp.broadcast_to(
         z_ref[...][:, None, :], (gper, group_size, bn)
     ).reshape(gper * group_size, bn)
-    w = q * scales + zeros
-    # Requantize onto the per-channel int8 grid (round-half-even like the
-    # host quantizers; exact grid membership is what the parity test pins).
-    w8 = jnp.clip(jnp.round(w / ws_ref[...]), -127, 127).astype(jnp.int8)
+    # Requantize straight onto the per-channel int8 grid: one FMA per weight
+    # (the caller pre-divided scales/zeros by wscale, so the divide and the
+    # intermediate fp dequant the first version did are gone — the kernel is
+    # VPU-bound, so this is the hot path). Round-half-even like the host
+    # quantizers; exact grid membership is what the parity test pins.
+    w8 = jnp.clip(jnp.round(q * scales + zeros), -127, 127).astype(jnp.int8)
 
     acc_ref[...] += jax.lax.dot(
         x_ref[...], w8, preferred_element_type=jnp.int32
@@ -72,36 +81,51 @@ def _kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...]
+        # In-kernel epilogue: dequantized result straight to the output dtype
+        # (the int32 accumulator never touches HBM).
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * xs_ref[:, 0:1] * ws_ref[...]
+            + b_ref[...]
+        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bk", "bn", "out_dtype", "interpret")
+)
 def w4a8_matmul(
     x8: jnp.ndarray,
     q4: jnp.ndarray,
-    scales: jnp.ndarray,
-    zeros: jnp.ndarray,
+    s8: jnp.ndarray,
+    z8: jnp.ndarray,
     wscale: jnp.ndarray,
+    xscale: jnp.ndarray,
+    bias: jnp.ndarray,
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
+    out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """acc[M, N] int32 = x8[M, K] @ requant_int8(dequant(q4, scales, zeros)).
+    """y[M, N] = (x8 @ round(q * s8 + z8)) * xscale * wscale + bias.
 
-    The caller applies ``xscale * wscale`` (and bias) to the int32 result.
+    ``s8``/``z8`` are the group affine pre-divided by ``wscale`` (so the
+    in-kernel requant is a single FMA) and ``xscale`` is the (M, 1) per-token
+    activation scale; the full dequant epilogue runs in-kernel and the int32
+    accumulator never reaches HBM.
     """
     m, k = x8.shape
     k8, n = q4.shape
     assert k8 * 8 == k, (k8, k)
-    groups = scales.shape[0]
+    groups = s8.shape[0]
     assert k % groups == 0
     group_size = k // groups
     assert bk % group_size == 0 and k % bk == 0 and n % bn == 0, (k, n, bk, bn)
 
+    xs = jnp.broadcast_to(xscale.astype(jnp.float32).reshape(m, 1), (m, 128))
     pad_m = (-m) % bm
     if pad_m:
         x8 = jnp.pad(x8, ((0, pad_m), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_m), (0, 0)))
     mp = x8.shape[0]
     gper = bk // group_size
     out = pl.pallas_call(
@@ -113,21 +137,24 @@ def w4a8_matmul(
             pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((gper, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * n * k,
-            bytes_accessed=mp * k + k8 * n * 4 + mp * n * 4,
+            bytes_accessed=mp * k + k8 * n * 4 + mp * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x8, q4, scales.astype(jnp.float32), zeros.astype(jnp.float32),
-      wscale.reshape(1, -1).astype(jnp.float32))
+    )(x8, q4, s8.astype(jnp.float32), z8.astype(jnp.float32),
+      wscale.reshape(1, -1).astype(jnp.float32), xs,
+      bias.reshape(1, -1).astype(jnp.float32))
     return out[:m]
 
 
@@ -140,10 +167,13 @@ def pick_m_block(m: int, bk: int, bn: int) -> int:
     padded-M rows of MXU work + one dequant pass per M block (~150
     row-equivalents), under a VMEM cap on x tiles + the int32/f32 accumulator.
     """
-    budget = 4_600_000  # bytes for x (double-buffered) + acc
+    # Bytes/row for x (double-buffered) + int32 acc + the xscale lane block;
+    # headroom set so the measured bm=1088 sweet spot stays eligible at
+    # bk=1024/bn=512 (bm=2176 exceeded VMEM on chip).
+    budget = 5_200_000
     best, best_cost = 256, float("inf")
     for c in range(128, 1088 + 1, 64):
-        if c * (2 * bk + 4 * bn) > budget:
+        if c * (2 * bk + 4 * bn + 512) > budget:
             break
         ru = -(-m // c) * c
         cost = ru + (ru // c) * 150
@@ -238,12 +268,14 @@ def w4a8_linear(p, x: jnp.ndarray, bm: int = 0, interpret: bool = False) -> jnp.
     for dim in x.shape[:-1]:
         m *= dim
     bm = bm or pick_m_block(m, bk, bn)
+    ws = p["wscale"].astype(jnp.float32)
+    rws = 1.0 / ws
+    s8 = p["scales"].astype(jnp.float32) * rws
+    z8 = p["zeros"].astype(jnp.float32) * rws
+    bias = p["bias"] if p.get("bias") is not None else jnp.zeros((n,), jnp.float32)
     x8, xscale = quantize_activations(x.reshape(-1, k))
-    acc = w4a8_matmul(
-        x8, p["q4"], p["scales"], p["zeros"], p["wscale"],
-        bm=bm, bk=bk, bn=bn, interpret=interpret,
+    y = w4a8_matmul(
+        x8, p["q4"], s8, z8, ws, xscale, bias,
+        bm=bm, bk=bk, bn=bn, out_dtype=x.dtype, interpret=interpret,
     )
-    y = acc.astype(jnp.float32) * xscale * p["wscale"].astype(jnp.float32)
-    if p.get("bias") is not None:
-        y = y + p["bias"].astype(jnp.float32)
-    return y.reshape(*lead, n).astype(x.dtype)
+    return y.reshape(*lead, n)

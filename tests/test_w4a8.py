@@ -33,7 +33,8 @@ def _dequant_np(p):
 
 
 def test_w4a8_matmul_matches_reference_int_math():
-    """Kernel result == numpy emulation of the exact same two-level math."""
+    """Kernel result == numpy emulation of the exact same two-level math
+    (requant FMA onto the int8 grid + int dot + in-kernel dequant epilogue)."""
     rs = np.random.RandomState(0)
     K, N, M = 256, 128, 16
     w = rs.randn(K, N).astype(np.float32) * 0.05
@@ -41,18 +42,31 @@ def test_w4a8_matmul_matches_reference_int_math():
     wscale = wscale_from_q4_host(p)
     x = rs.randn(M, K).astype(np.float32)
     x8, xs = quantize_activations(jnp.asarray(x))
+    bias = rs.randn(N).astype(np.float32) * 0.1
 
-    acc = np.asarray(
+    rws = 1.0 / wscale
+    got = np.asarray(
         w4a8_matmul(
-            x8, jnp.asarray(p["q4"]), jnp.asarray(p["scales"]),
-            jnp.asarray(p["zeros"]), jnp.asarray(wscale),
-            bm=8, bk=128, bn=128, interpret=True,
+            x8, jnp.asarray(p["q4"]), jnp.asarray(p["scales"] * rws),
+            jnp.asarray(p["zeros"] * rws), jnp.asarray(wscale),
+            xs, jnp.asarray(bias),
+            bm=8, bk=128, bn=128, out_dtype=jnp.float32, interpret=True,
         )
     )
-    w4 = _dequant_np(p)
-    w8 = np.clip(np.round(w4 / wscale[None, :]), -127, 127).astype(np.int32)
-    want = np.asarray(x8, np.int32) @ w8
-    np.testing.assert_array_equal(acc, want)
+    # Same two-level math in numpy: q on the int8 grid via one FMA.
+    packed = np.asarray(p["q4"])
+    in8, out = packed.shape
+    q = np.empty((in8, 8, out), np.float32)
+    for j in range(8):
+        q[:, j, :] = ((packed >> np.uint32(4 * j)) & np.uint32(0xF)).astype(np.float32)
+    q = q.reshape(in8 * 8, out)
+    g = q.shape[0] // p["scales"].shape[0]
+    s8 = np.repeat(p["scales"] * rws, g, 0).astype(np.float32)
+    z8 = np.repeat(p["zeros"] * rws, g, 0).astype(np.float32)
+    w8 = np.clip(np.round(q * s8 + z8), -127, 127).astype(np.int32)
+    acc = np.asarray(x8, np.int32) @ w8
+    want = acc.astype(np.float32) * np.asarray(xs) * wscale[None, :] + bias
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
 def test_w4a8_linear_close_to_int4_dequant():

@@ -43,9 +43,13 @@ def build_step(mode: str):
         cond = jnp.zeros((2, 10, 32), config.dtype)
         pooled = jnp.zeros((2, 48), config.dtype)
         cfg, cfg_on = 5.0, True
-    elif mode == "flux-int4":
+    elif mode in ("flux-int4", "flux-w4a8"):
         config = FLUX_SCHNELL
         params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+        if mode == "flux-w4a8":
+            from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
+
+            params = add_wscale_bound_tree(params)
         latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
         cond = jnp.zeros((1, 256, 4096), config.dtype)
         pooled = jnp.zeros((1, 768), config.dtype)
