@@ -89,6 +89,31 @@ def test_w4a8_linear_close_to_int4_dequant():
     assert rel < 0.03, rel
 
 
+def test_w4a8_linear_no_bias():
+    rs = np.random.RandomState(3)
+    K, N = 128, 128
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(p))
+    x = jnp.asarray(rs.randn(4, K).astype(np.float32))
+    got = np.asarray(w4a8_linear(p, x, bm=8, interpret=True))
+    want = np.asarray(x) @ _dequant_np(p)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.03, rel
+
+
+def test_pick_m_block():
+    from diffusionkit_tpu.ops.w4a8_matmul import pick_m_block
+
+    # Large M amortises the per-M-block dequant: picks the biggest block
+    # under the VMEM cap.
+    assert pick_m_block(4352, 1024, 512) >= 1024
+    # Small M: no reason to pad 16 rows up to 1088.
+    assert pick_m_block(16, 1024, 512) == 128
+    # VMEM cap binds for huge tiles.
+    assert pick_m_block(4352, 4096, 1024) <= 448
+
+
 def test_add_wscale_tree_stacked():
     rs = np.random.RandomState(2)
     kernels = np.stack([rs.randn(128, 64).astype(np.float32) * 0.05 for _ in range(3)])
