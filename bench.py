@@ -246,9 +246,12 @@ def bench_flux_e2e():
     os.environ["DIFFUSIONKIT_TPU_CKPT_DIR"] = mirror
     from diffusionkit_tpu.pipeline import FluxPipeline
 
+    # quantize_t5: bf16 T5 (9.4 GB) + resident 12B int4 MMDiT overflows a
+    # 16 GB v5e; w8a8 T5 keeps every phase resident.
     pipe = FluxPipeline(
         model_version="argmaxinc/mlx-FLUX.1-schnell-4bit-quantized",
         low_memory_mode=False, use_scan=True, quantize_mmdit="w4a8",
+        quantize_t5=True,
     )
     prompts = ["a cat", "a dog on a beach", "an astronaut riding a horse"]
     pipe.generate_image(prompts[0], num_steps=4, cfg_weight=0.0,

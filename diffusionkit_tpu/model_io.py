@@ -932,9 +932,13 @@ def load_text_encoder(which: str, dtype=jnp.float32) -> Tuple[Params, CLIPTextMo
     return jax.device_put(clip_params_from_hf_ckpt(sd, config, dtype)), config
 
 
-def load_t5_encoder(dtype=jnp.bfloat16) -> Params:
+def load_t5_encoder(dtype=jnp.bfloat16, to_device: bool = True) -> Params:
+    """``to_device=False`` returns the host tree — required when the caller
+    quantizes first (a 9.4 GB bf16 T5 next to a resident 12B MMDiT would
+    overflow a 16 GB chip before the int8 conversion runs)."""
     sd = load_safetensors(_resolve_aux(AUX_FILES["t5"]))
-    return jax.device_put(t5_params_from_ckpt(sd, T5_XXL, dtype))
+    params = t5_params_from_ckpt(sd, T5_XXL, dtype)
+    return jax.device_put(params) if to_device else params
 
 
 def load_tokenizer(which: str, pad_with_eos: bool = False):

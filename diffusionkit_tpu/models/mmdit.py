@@ -88,13 +88,16 @@ def _segments(n: int, upcast: Tuple[int, ...]) -> List[Tuple[int, int, bool]]:
 
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(b, s, h*d) -> (b, s, h, d): a free reshape. Attention runs in the
+    bshd layout end to end (ops/attention.py) so no physical head transpose
+    is ever materialised around the Pallas flash kernel."""
     b, s, h = x.shape
-    return x.reshape(b, s, num_heads, h // num_heads).transpose(0, 2, 1, 3)
+    return x.reshape(b, s, num_heads, h // num_heads)
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    b, nh, s, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * d)
+    b, s, nh, d = x.shape
+    return x.reshape(b, s, nh * d)
 
 
 def _qkv(block: Params, x: jnp.ndarray, config: MMDiTConfig):
@@ -158,22 +161,24 @@ def _mm_block(
     img_len = img.shape[1]
     txt_len = txt.shape[1]
     if config.depth_unified > 0:
-        # FLUX order: text first (reference mmdit.py:594-606).
-        q = jnp.concatenate([q_t, q_i], axis=2)
-        k = jnp.concatenate([k_t, k_i], axis=2)
-        v = jnp.concatenate([v_t, v_i], axis=2)
+        # FLUX order: text first (reference mmdit.py:594-606). Sequence is
+        # axis 1 in the bshd layout.
+        q = jnp.concatenate([q_t, q_i], axis=1)
+        k = jnp.concatenate([k_t, k_i], axis=1)
+        v = jnp.concatenate([v_t, v_i], axis=1)
     else:
         # SD3 order: image first (reference mmdit.py:607-625).
-        q = jnp.concatenate([q_i, q_t], axis=2)
-        k = jnp.concatenate([k_i, k_t], axis=2)
-        v = jnp.concatenate([v_i, v_t], axis=2)
+        q = jnp.concatenate([q_i, q_t], axis=1)
+        k = jnp.concatenate([k_i, k_t], axis=1)
+        v = jnp.concatenate([v_i, v_t], axis=1)
 
     if rope is not None:
-        cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        cos, sin = rope  # (S, d/2); broadcast over the head axis in bshd
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
-    o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl, mesh=mesh)
+    o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl,
+             mesh=mesh, layout="bshd")
     o = _merge_heads(o)
 
     if config.depth_unified > 0:
@@ -217,10 +222,11 @@ def _unified_block(
     q, k, v = _qkv(bp, h, config)
     if rope is not None:
         cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
     o = _merge_heads(
-        sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl, mesh=mesh)
+        sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl,
+             mesh=mesh, layout="bshd")
     )
     if config.parallel_mlp_for_unified_blocks:
         return x + mods[2] * (linear(bp["o"], o) + ffn_gelu(bp, h))

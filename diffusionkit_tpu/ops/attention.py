@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .flash_attention import flash_attention
+from .flash_attention import flash_attention, flash_attention_bshd
 
 # Sequence length above which the Pallas flash kernel is used; mirrors the
 # role of SDPA_FLASH_ATTN_THRESHOLD=1024 (reference mmdit.py:19).
@@ -40,9 +40,20 @@ def _on_tpu() -> bool:
 
 
 def xla_sdpa(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """Materialised-score SDPA with fp32 softmax over (B, H, S, D)."""
+    """Materialised-score SDPA with fp32 softmax."""
+    if layout == "bshd":
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        p = jax.nn.softmax(s * scale, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q.dtype)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
@@ -54,17 +65,18 @@ def xla_sdpa(
     return out.astype(q.dtype)
 
 
-def _flash_tp(q, k, v, scale: float, mesh, axis: str = "model"):
+def _flash_tp(q, k, v, scale: float, mesh, axis: str = "model", layout: str = "bhsd"):
     """Pallas flash under GSPMD: shard_map over the head axis (already the
     activation sharding produced by column-parallel q/k/v projections)."""
-    spec = P(None, axis, None, None)
-    fn = jax.shard_map(
-        partial(flash_attention, scale=scale),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-    )
-    return fn(q, k, v)
+    if layout == "bshd":
+        spec = P(None, None, axis, None)
+        fn = partial(flash_attention_bshd, scale=scale)
+    else:
+        spec = P(None, axis, None, None)
+        fn = partial(flash_attention, scale=scale)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
 
 
 def sdpa(
@@ -74,17 +86,22 @@ def sdpa(
     scale: float,
     impl: Optional[str] = None,
     mesh=None,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
     """Dispatching SDPA.
 
     ``impl``: None/'auto', 'xla', 'flash', or 'ring' (mesh required).
     ``mesh``: jax.sharding.Mesh with a 'model' axis; changes how 'flash'
     lowers (shard_map over heads) and enables 'ring'.
+    ``layout``: 'bhsd' (B, H, S, D) or 'bshd' (B, S, H, D — the layout the
+    model's head-split reshape yields; avoids physical transposes around the
+    Pallas kernel, which XLA must materialise for custom calls).
     """
     impl = impl or os.environ.get("DIFFUSIONKIT_TPU_SDPA", "auto")
-    seq = q.shape[-2]
+    bshd = layout == "bshd"
+    seq = q.shape[1] if bshd else q.shape[-2]
     head_dim = q.shape[-1]
-    num_heads = q.shape[-3]
+    num_heads = q.shape[2] if bshd else q.shape[-3]
     flash_ok = head_dim in (64, 128, 256)
     want_flash = impl == "flash" or (
         impl == "auto" and _on_tpu() and seq > FLASH_ATTN_THRESHOLD and flash_ok
@@ -94,12 +111,33 @@ def sdpa(
             raise ValueError("sdpa impl='ring' requires a mesh")
         from ..parallel.ring_attention import ring_attention
 
+        if bshd:
+            # Ring shards the sequence axis; it keeps the (B,H,S,D) form.
+            o = ring_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), scale, mesh,
+            )
+            return o.transpose(0, 2, 1, 3)
         return ring_attention(q, k, v, scale, mesh)
+    # The bshd Pallas path needs a lane-aligned head dim (Mosaic's
+    # last-two-dims block rule); d=64 models transpose around the bhsd
+    # kernel as before.
+    if bshd and want_flash and head_dim % 128 != 0:
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        bshd, layout = False, "bhsd"
+        untranspose = True
+    else:
+        untranspose = False
+
     if mesh is not None:
         if want_flash and flash_ok and num_heads % mesh.shape["model"] == 0:
-            return _flash_tp(q, k, v, scale, mesh)
-        # GSPMD partitions the einsum+softmax path natively.
-        return xla_sdpa(q, k, v, scale)
-    if want_flash:
-        return flash_attention(q, k, v, scale=scale)
-    return xla_sdpa(q, k, v, scale)
+            out = _flash_tp(q, k, v, scale, mesh, layout=layout)
+        else:
+            # GSPMD partitions the einsum+softmax path natively.
+            out = xla_sdpa(q, k, v, scale, layout)
+    elif want_flash:
+        fn = flash_attention_bshd if bshd else flash_attention
+        out = fn(q, k, v, scale=scale)
+    else:
+        out = xla_sdpa(q, k, v, scale, layout)
+    return out.transpose(0, 2, 1, 3) if untranspose else out

@@ -16,23 +16,28 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
-def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ kernel (+ bias). Accumulates in fp32 on the MXU.
+def linear(params: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
+    """y = act(x @ kernel (+ bias)). Accumulates in fp32 on the MXU.
 
     Transparently handles weight-only-quantized params (see ops/quantized.py)
     so every model works unchanged with int4/int8 checkpoints.
+    ``act="gelu"`` (exact erf, reference mmdit.py MLP) fuses into the Pallas
+    quantized-kernel epilogues; on the plain/XLA paths it is appended here
+    and XLA fuses it into the dot's consumer.
     """
     if "kernel" not in params:
         if "w8" in params:
             from .w8a8 import w8a8_linear
 
-            return w8a8_linear(params, x)
+            return w8a8_linear(params, x, act=act)
         from .quantized import quantized_linear
 
-        return quantized_linear(params, x)
+        return quantized_linear(params, x, act=act)
     y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     if params.get("bias") is not None:
         y = y + params["bias"].astype(jnp.float32)
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
     return y.astype(x.dtype)
 
 
@@ -46,8 +51,11 @@ def mlp_silu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def ffn_gelu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Transformer FFN with exact (erf) GELU (reference mmdit.py:827-835)."""
-    return linear(params["fc2"], jax.nn.gelu(linear(params["fc1"], x), approximate=False))
+    """Transformer FFN with exact (erf) GELU (reference mmdit.py:827-835).
+
+    The activation fuses into fc1's kernel epilogue on the quantized Pallas
+    paths (see linear)."""
+    return linear(params["fc2"], linear(params["fc1"], x, act="gelu"))
 
 
 def timestep_embedding(

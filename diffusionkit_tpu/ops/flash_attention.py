@@ -31,19 +31,20 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     vlen_ref,  # SMEM (1,) int32: number of valid kv positions
-    q_ref,  # VMEM (1, q_blk, d)
-    k_ref,  # VMEM (1, kv_blk, d)
-    v_ref,  # VMEM (1, kv_blk, d)
-    o_ref,  # VMEM (1, q_blk, d)
+    q_ref,  # VMEM (1, q_blk, d) — or (1, q_blk, 1, d) in bshd layout
+    k_ref,  # VMEM (1, kv_blk, d) / (1, kv_blk, 1, d)
+    v_ref,  # VMEM (1, kv_blk, d) / (1, kv_blk, 1, d)
+    o_ref,  # VMEM (1, q_blk, d) / (1, q_blk, 1, d)
     m_ref,  # VMEM (q_blk, 128) fp32 scratch — running max (broadcast on lanes)
     l_ref,  # VMEM (q_blk, 128) fp32 scratch — running denominator
     acc_ref,  # VMEM (q_blk, d) fp32 scratch — running numerator
     *,
     scale: float,
     kv_blk: int,
+    kv_axis: int = 2,
 ):
-    ki = pl.program_id(2)
-    num_kv = pl.num_programs(2)
+    ki = pl.program_id(kv_axis)
+    num_kv = pl.num_programs(kv_axis)
 
     @pl.when(ki == 0)
     def _init():
@@ -105,13 +106,87 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     Single-tile kv wins whenever the whole (padded) sequence fits the score
     budget: one exp pass, no running-stat rescales (on-chip sweep, round 2:
     SD3 s=1178 0.60 ms vs 0.99 at 512/1024; FLUX s=4352 2.37 vs 2.97).
+    Among q blocks under the budget, prefer the largest that DIVIDES the
+    padded sequence — at FLUX 1024² (s=4352) q_blk=512 pads the q grid to
+    4608 (+5.9% wasted rows) while 256 tiles it exactly.
     Falls back to streaming 512/1024 tiles for very long sequences.
     """
     s128 = -(-s // 128) * 128
     if s128 * 128 <= _SCORE_BUDGET:
-        q_blk = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
-        return q_blk, s128
+        cap = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
+        for q_blk in range(cap, 127, -128):
+            if s128 % q_blk == 0:
+                return q_blk, s128
+        return cap, s128
     return 512, 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "q_blk", "kv_blk", "interpret")
+)
+def flash_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    q_blk: int = 0,
+    kv_blk: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over (B, S, H, D) inputs — the layout the model's
+    head-split reshape produces naturally, so no physical (B,H,S,D)
+    transpose of q/k/v/o is ever materialised (on the FLUX 1024² step those
+    four copies were ~26 ms/step of 'data formatting' in the profile).
+
+    Implementation: the input is viewed as (B, S, H*D) — a free reshape —
+    and each grid program selects its head via the COLUMN block index
+    (blocks are (1, q_blk, D), legal under Mosaic's last-two-dims rule
+    because D is a lane multiple). Requires D % 128 == 0; the dispatcher
+    falls back to the transposing path for smaller head dims."""
+    b, s, h, d = q.shape
+    assert d % 128 == 0, f"bshd flash needs lane-aligned head dim, got {d}"
+    if not q_blk or not kv_blk:
+        auto_q, auto_kv = pick_flash_blocks(s, d)
+        q_blk = q_blk or auto_q
+        kv_blk = kv_blk or auto_kv
+    orig_s = s
+
+    q = _pad_seq(q.reshape(b, s, h * d), q_blk)
+    k = _pad_seq(k.reshape(b, s, h * d), kv_blk)
+    v = _pad_seq(v.reshape(b, s, h * d), kv_blk)
+    sq, sk = q.shape[1], k.shape[1]
+
+    grid = (b, h, sq // q_blk, sk // kv_blk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_blk=kv_blk, kv_axis=3
+    )
+    vlen = jnp.array([orig_s], dtype=jnp.int32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, q_blk, d), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
+                pl.BlockSpec((1, kv_blk, d), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
+                pl.BlockSpec((1, kv_blk, d), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
+            ],
+            out_specs=pl.BlockSpec((1, q_blk, d), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
+            scratch_shapes=[
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(vlen, q, k, v)
+
+    return out[:, :orig_s].reshape(b, orig_s, h, d)
 
 
 @functools.partial(

@@ -33,6 +33,7 @@ def _kernel(
     *,
     group_size: int,
     out_dtype,
+    act: str = None,
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -65,11 +66,14 @@ def _kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        y = acc_ref[...]
+        if act == "gelu":  # exact erf, f32 — fuses the MLP activation
+            y = 0.5 * y * (1.0 + jax.lax.erf(y * (2.0**-0.5)))
+        o_ref[...] = y.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "bn", "interpret")
+    jax.jit, static_argnames=("bm", "bk", "bn", "act", "interpret")
 )
 def int4_matmul(
     x: jnp.ndarray,
@@ -79,12 +83,15 @@ def int4_matmul(
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
+    act: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y[M, N] = x[M, K] @ dequant(q4, scales, zeros); fp32 accumulation.
+    """y[M, N] = act(x[M, K] @ dequant(q4, scales, zeros)); fp32 accumulation.
 
     M is padded to bm; K and N must divide bk/bn (model dims are multiples of
     512 for every registry model: hidden 1536/2432/3072, mlp 4x).
+    ``act="gelu"`` is only valid for bias-free layers (the bias add happens
+    outside this kernel and GELU must follow it).
     """
     m, k = x.shape
     k8, n = q4.shape
@@ -102,7 +109,7 @@ def int4_matmul(
     grid = (mp // bm, n // bn, k // bk)
     gper = bk // group_size
     out = pl.pallas_call(
-        functools.partial(_kernel, group_size=group_size, out_dtype=x.dtype),
+        functools.partial(_kernel, group_size=group_size, out_dtype=x.dtype, act=act),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -151,7 +158,7 @@ def pick_k_block(k: int, group: int, cap: int = 1024, max_full_k: int = 8192) ->
 
 def int4_linear(
     p, x: jnp.ndarray, bm: int = 0, bk: int = 0, bn: int = 0,
-    interpret: bool = False,
+    act: str = None, interpret: bool = False,
 ) -> jnp.ndarray:
     """Apply an int4-quantized linear param dict via the Pallas kernel.
 
@@ -179,13 +186,18 @@ def int4_linear(
         for dim in x.shape[:-1]:
             m *= dim
         bm = pick_m_block(m, bk, bn)
+    has_bias = p.get("bias") is not None
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
-        bm=bm, bk=bk, bn=bn, interpret=interpret,
+        bm=bm, bk=bk, bn=bn, act=None if has_bias else act,
+        interpret=interpret,
     )
     y = y.reshape(*lead, y.shape[-1])
-    if p.get("bias") is not None:
-        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    if has_bias:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32))
+        if act == "gelu":  # bias precedes GELU; XLA fuses this chain
+            y = jax.nn.gelu(y, approximate=False)
+        y = y.astype(x.dtype)
     return y
 
 
@@ -197,7 +209,7 @@ def int4_linear(
 # ---------------------------------------------------------------------------
 
 
-def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtype):
+def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtype, act=None):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -218,10 +230,13 @@ def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtyp
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        y = acc_ref[...]
+        if act == "gelu":
+            y = 0.5 * y * (1.0 + jax.lax.erf(y * (2.0**-0.5)))
+        o_ref[...] = y.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "act", "interpret"))
 def int8_matmul(
     x: jnp.ndarray,
     q8: jnp.ndarray,
@@ -230,9 +245,10 @@ def int8_matmul(
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
+    act: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y = x @ dequant(q8); fused group-affine dequant, fp32 accumulation."""
+    """y = act(x @ dequant(q8)); fused group-affine dequant, fp32 accumulation."""
     m, k = x.shape
     _, n = q8.shape
     groups = scales.shape[0]
@@ -244,7 +260,7 @@ def int8_matmul(
     mp = x.shape[0]
     gper = bk // group_size
     out = pl.pallas_call(
-        functools.partial(_kernel8, group_size=group_size, out_dtype=x.dtype),
+        functools.partial(_kernel8, group_size=group_size, out_dtype=x.dtype, act=act),
         grid=(mp // bm, n // bn, k // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -268,7 +284,9 @@ def int8_matmul(
     return out[:m]
 
 
-def int8_linear(p, x: jnp.ndarray, bm: int = 0, interpret: bool = False) -> jnp.ndarray:
+def int8_linear(
+    p, x: jnp.ndarray, bm: int = 0, act: str = None, interpret: bool = False
+) -> jnp.ndarray:
     """Apply an int8-quantized linear param dict via the Pallas kernel."""
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -285,11 +303,16 @@ def int8_linear(p, x: jnp.ndarray, bm: int = 0, interpret: bool = False) -> jnp.
         for dim in x.shape[:-1]:
             m *= dim
         bm = pick_m_block(m, bk, bn)
+    has_bias = p.get("bias") is not None
     y = int8_matmul(
         x.reshape(-1, k), p["q8"], p["scales"], p["zeros"],
-        bm=bm, bk=bk, bn=bn, interpret=interpret,
+        bm=bm, bk=bk, bn=bn, act=None if has_bias else act,
+        interpret=interpret,
     )
     y = y.reshape(*lead, n)
-    if p.get("bias") is not None:
-        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    if has_bias:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32))
+        if act == "gelu":
+            y = jax.nn.gelu(y, approximate=False)
+        y = y.astype(x.dtype)
     return y

@@ -155,12 +155,13 @@ def _quant_kernel_eligible(p: Params, x: jnp.ndarray) -> bool:
     return pick_k_block(k, group) > 0 and _largest_divisor_block(n, 128, 1024) >= 128
 
 
-def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ dequant(W) (+ bias), fp32 accumulation on the MXU.
+def quantized_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
+    """y = act(x @ dequant(W) (+ bias)), fp32 accumulation on the MXU.
 
     On TPU, int4 params with kernel-friendly shapes route through the Pallas
     fused dequant-matmul (ops/int4_matmul.py) so packed weights stream
     straight from HBM; otherwise dequantise in-jit and use a plain dot.
+    ``act="gelu"`` (exact erf) fuses into the kernel epilogue where possible.
     """
     if _quant_kernel_eligible(p, x):
         if "q4" in p:
@@ -170,17 +171,19 @@ def quantized_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
                 # the per-channel wscale leaves.
                 from .w4a8_matmul import w4a8_linear
 
-                return w4a8_linear(p, x)
+                return w4a8_linear(p, x, act=act)
             from .int4_matmul import int4_linear
 
-            return int4_linear(p, x)
+            return int4_linear(p, x, act=act)
         from .int4_matmul import int8_linear
 
-        return int8_linear(p, x)
+        return int8_linear(p, x, act=act)
     w = _dequant(p, x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if p.get("bias") is not None:
         y = y + p["bias"].astype(jnp.float32)
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
     return y.astype(x.dtype)
 
 

@@ -92,12 +92,12 @@ def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return x8, xscale
 
 
-def w8a8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ w (+ bias) with both operands quantised to int8.
+def w8a8_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
+    """y = act(x @ w (+ bias)) with both operands quantised to int8.
 
     int32 accumulation on the MXU's int8 path; the combined
-    ``xscale * wscale`` rescale and bias-add run in fp32 and fuse into the
-    dot's consumer.
+    ``xscale * wscale`` rescale, bias-add and optional GELU run in fp32 and
+    fuse into the dot's consumer.
     """
     x8, xscale = quantize_activations(x)
     acc = jax.lax.dot_general(
@@ -107,6 +107,8 @@ def w8a8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = acc.astype(jnp.float32) * xscale * p["wscale"].astype(jnp.float32)
     if p.get("bias") is not None:
         y = y + p["bias"].astype(jnp.float32)
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
     return y.astype(x.dtype)
 
 

@@ -230,6 +230,7 @@ class DiffusionPipeline:
         load: bool = True,
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
+        quantize_t5: bool = False,
         use_scan: bool = True,
         mesh=None,
     ):
@@ -246,6 +247,13 @@ class DiffusionPipeline:
         self.use_t5 = use_t5 or self.t5_forced
         self.sdpa_impl = sdpa_impl
         self.quantize_mmdit = quantize_mmdit
+        # quantize_t5 (opt-in): w8a8 (int8-MXU) T5-XXL — 4.7 GB resident
+        # instead of 9.4 bf16, the difference between single-16GB-chip
+        # serving of 12B FLUX with T5 resident (int4 MMDiT 7.5 GB + int8 T5
+        # + CLIP-L + VAE ~= 13 GB) and phase-lazy reloads per request.
+        # Dynamic per-token int8 activations can clip T5's known outlier
+        # channels; quality-critical offline use should keep bf16 T5.
+        self.quantize_t5 = quantize_t5
         # use_scan (default ON): compile the whole denoise schedule as one
         # lax.scan program — zero host round-trips in the hot loop (measured
         # ~30 ms/step of dispatch overhead saved on this box's relay).
@@ -348,7 +356,15 @@ class DiffusionPipeline:
             self.clip_g, self.clip_g_config = model_io.load_text_encoder("clip_g", self.dtype)
             self.tokenizer_g = model_io.load_tokenizer("g", pad_with_eos=False)
         if self.use_t5 and self.t5_params is None:
-            self.t5_params = model_io.load_t5_encoder(self.dtype)
+            self.t5_params = model_io.load_t5_encoder(
+                self.dtype, to_device=not self.quantize_t5
+            )
+            if self.quantize_t5:
+                # Quantize on the HOST tree, then place: the bf16 T5 must
+                # never be device-resident next to a loaded 12B MMDiT.
+                from .ops.w8a8 import w8a8_tree
+
+                self.t5_params = jax.device_put(w8a8_tree(self.t5_params))
             if self.mesh is not None:
                 from .parallel import shard_params, t5_shardings
 
@@ -828,6 +844,7 @@ class FluxPipeline(DiffusionPipeline):
         load: bool = True,
         sdpa_impl: Optional[str] = None,
         quantize_mmdit: bool = False,
+        quantize_t5: bool = False,
         use_scan: bool = True,
         mesh=None,
     ):
@@ -842,6 +859,7 @@ class FluxPipeline(DiffusionPipeline):
             load=load,
             sdpa_impl=sdpa_impl,
             quantize_mmdit=quantize_mmdit,
+            quantize_t5=quantize_t5,
             use_scan=use_scan,
             mesh=mesh,
         )

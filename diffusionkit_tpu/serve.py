@@ -262,6 +262,9 @@ def main(argv=None):
     ap.add_argument("--use-scan", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--quantize-mmdit", nargs="?", const="int4", default=None,
                     choices=["int4", "int8", "w8a8", "w4a8"])
+    ap.add_argument("--quantize-t5", action="store_true",
+                    help="w8a8 T5 (4.7 GB resident instead of 9.4) — lets "
+                         "12B FLUX serve with T5 resident on one 16 GB chip")
     ap.add_argument("--max-batch", type=int, default=8)
     args = ap.parse_args(argv)
 
@@ -274,6 +277,7 @@ def main(argv=None):
         low_memory_mode=False,  # serving keeps everything resident
         use_scan=args.use_scan,
         quantize_mmdit=args.quantize_mmdit,
+        quantize_t5=args.quantize_t5,
     )
     GenerationServer(
         pipe,

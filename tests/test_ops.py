@@ -213,11 +213,43 @@ def test_pick_flash_blocks():
     from diffusionkit_tpu.ops.flash_attention import pick_flash_blocks
 
     assert pick_flash_blocks(1178, 64) == (1280, 1280)   # SD3 512^2
-    assert pick_flash_blocks(4352, 128) == (512, 4352)   # FLUX 1024^2
+    # FLUX 1024^2: 256 divides 4352 exactly (512 would pad q to 4608; the
+    # exact tiling measured faster on chip, tools/sweep_flash_blocks.py).
+    assert pick_flash_blocks(4352, 128) == (256, 4352)
     q, kv = pick_flash_blocks(33000, 128)                # beyond budget
     assert (q, kv) == (512, 1024)
     q, kv = pick_flash_blocks(300, 64)
     assert kv == 384 and q == 384 and q % 128 == 0
+
+
+def test_flash_attention_bshd_matches_bhsd():
+    from diffusionkit_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_bshd,
+    )
+
+    rs = np.random.RandomState(11)
+    # d=128: the bshd path requires a lane-aligned head dim (FLUX shape);
+    # d=64 models transpose around the bhsd kernel (ops/attention.py).
+    q = rs.randn(2, 3, 300, 128).astype(np.float32)
+    k = rs.randn(2, 3, 300, 128).astype(np.float32)
+    v = rs.randn(2, 3, 300, 128).astype(np.float32)
+    scale = 128**-0.5
+    want = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, q_blk=128, kv_blk=128, interpret=True,
+        )
+    )
+    got = np.asarray(
+        flash_attention_bshd(
+            jnp.asarray(q.transpose(0, 2, 1, 3)),
+            jnp.asarray(k.transpose(0, 2, 1, 3)),
+            jnp.asarray(v.transpose(0, 2, 1, 3)),
+            scale=scale, q_blk=128, kv_blk=128, interpret=True,
+        )
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,18 @@ def test_pipeline_w4a8_mode_tiny():
         verbose=False,
     )
     assert np.asarray(img).shape == (64, 64, 3)
+
+
+def test_w4a8_linear_fused_gelu():
+    """act='gelu' in-kernel epilogue == gelu applied to the unfused output."""
+    rs = np.random.RandomState(4)
+    K, N = 128, 128
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(p))
+    x = jnp.asarray(rs.randn(4, K).astype(np.float32))
+    base = np.asarray(w4a8_linear(p, x, bm=8, interpret=True), np.float32)
+    want = np.asarray(jax.nn.gelu(jnp.asarray(base), approximate=False))
+    got = np.asarray(w4a8_linear(p, x, bm=8, act="gelu", interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -165,3 +165,20 @@ def test_pipeline_w8a8_flag():
     assert b.shape == a.shape
     # same seed, quantized model: images correlated but not identical
     assert np.abs(a - b).mean() < 48.0
+
+
+def test_t5_w8a8_parity():
+    """w8a8-quantized T5 encoder output stays close to the float encoder
+    (the quantize_t5 pipeline option, diffusionkit_tpu/pipeline.py)."""
+    from diffusionkit_tpu.config import T5Config
+    from diffusionkit_tpu.models.t5 import apply_t5_encoder, init_t5_params
+    from diffusionkit_tpu.ops.w8a8 import w8a8_tree
+
+    config = T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4)
+    params = init_t5_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 64, (2, 12)), jnp.int32)
+    ref = np.asarray(apply_t5_encoder(params, tokens, config), np.float32)
+    qp = jax.tree.map(jnp.asarray, w8a8_tree(params, min_size=1))
+    got = np.asarray(apply_t5_encoder(qp, tokens, config), np.float32)
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel

@@ -24,9 +24,11 @@ def main():
     )
     from diffusionkit_tpu.pipeline import FluxPipeline
 
+    # quantize_t5: int4 MMDiT (7.5 GB) + bf16 T5 (9.4 GB) overflows a 16 GB
+    # v5e; w8a8 T5 (4.7 GB) keeps every phase resident for serving.
     pipe = FluxPipeline(
         model_version="argmaxinc/mlx-FLUX.1-schnell-4bit-quantized",
-        low_memory_mode=False, use_scan=True,
+        low_memory_mode=False, use_scan=True, quantize_t5=True,
     )
     prompts = [f"a photo of a cat number {i}" for i in range(8)]
     for batch in (1, 4, 8):
