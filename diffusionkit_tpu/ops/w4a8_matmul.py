@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .int4_matmul import _gelu_exact
+
 
 def _kernel(
     x_ref,       # (bm, bk) int8 — pre-quantized activations
@@ -92,7 +94,7 @@ def _kernel(
             + b_ref[...]
         )
         if act == "gelu":
-            y = 0.5 * y * (1.0 + jax.lax.erf(y * (2.0**-0.5)))
+            y = _gelu_exact(y)
         o_ref[...] = y.astype(o_ref.dtype)
 
 
