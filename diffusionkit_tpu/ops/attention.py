@@ -119,10 +119,18 @@ def sdpa(
             )
             return o.transpose(0, 2, 1, 3)
         return ring_attention(q, k, v, scale, mesh)
-    # The bshd Pallas path needs a lane-aligned head dim (Mosaic's
-    # last-two-dims block rule); d=64 models transpose around the bhsd
-    # kernel as before.
-    if bshd and want_flash and head_dim % 128 != 0:
+    # The bshd Pallas path needs lane-aligned blocks: one head per program
+    # when d % 128 == 0, or 128//d heads packed per program when d divides
+    # 128 (d=64 models). Anything else transposes around the bhsd kernel.
+    bshd_ok = head_dim % 128 == 0 or (
+        128 % head_dim == 0 and num_heads % (128 // head_dim) == 0
+    )
+    # A/B escape hatch: DIFFUSIONKIT_TPU_ATTN_LAYOUT=bhsd forces the
+    # transposing path even for bshd-capable shapes (strided head-column
+    # DMAs vs materialised transposes trade off per shape).
+    if os.environ.get("DIFFUSIONKIT_TPU_ATTN_LAYOUT") == "bhsd":
+        bshd_ok = False
+    if bshd and want_flash and not bshd_ok:
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
         bshd, layout = False, "bhsd"
         untranspose = True

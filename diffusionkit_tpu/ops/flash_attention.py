@@ -121,6 +121,75 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     return 512, 1024
 
 
+def _flash_kernel_bshd(
+    vlen_ref,  # SMEM (1,) int32: number of valid kv positions
+    q_ref,  # VMEM (1, q_blk, pack*d) — `pack` heads side by side
+    k_ref,  # VMEM (1, kv_blk, pack*d)
+    v_ref,  # VMEM (1, kv_blk, pack*d)
+    o_ref,  # VMEM (1, q_blk, pack*d)
+    m_ref,  # VMEM (q_blk, 128) fp32 — running max, one d-wide segment/head
+    l_ref,  # VMEM (q_blk, 128) fp32 — running denominator, segmented
+    acc_ref,  # VMEM (q_blk, pack*d) fp32 — running numerator, segmented
+    *,
+    scale: float,
+    kv_blk: int,
+    d_head: int,
+    pack: int,
+):
+    """bshd flash body. For head dims below the 128-lane tile (d=64 models)
+    each program packs ``pack = 128 // d`` heads into one lane-aligned block
+    and runs their online softmax side by side in column segments — the
+    block shape stays legal under Mosaic's last-two-dims rule without ever
+    materialising a (B,H,S,D) transpose."""
+    ki = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    col = ki * kv_blk + jax.lax.broadcasted_iota(
+        jnp.int32, (q_ref.shape[1], kv_blk), 1
+    )
+    valid = col < vlen_ref[0]
+
+    for j in range(pack):
+        sl = slice(j * d_head, (j + 1) * d_head)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(valid, s * scale, NEG_INF)
+
+        m_prev = m_ref[:, j * d_head : j * d_head + 1]
+        l_prev = l_ref[:, j * d_head : j * d_head + 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + pv
+        m_ref[:, sl] = jnp.broadcast_to(m_new, (m_new.shape[0], d_head))
+        l_ref[:, sl] = jnp.broadcast_to(l_new, (l_new.shape[0], d_head))
+
+    @pl.when(ki == num_kv - 1)
+    def _finalize():
+        for j in range(pack):
+            sl = slice(j * d_head, (j + 1) * d_head)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl] / l_ref[:, j * d_head : j * d_head + 1]
+            ).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "q_blk", "kv_blk", "interpret")
 )
@@ -139,12 +208,16 @@ def flash_attention_bshd(
     four copies were ~26 ms/step of 'data formatting' in the profile).
 
     Implementation: the input is viewed as (B, S, H*D) — a free reshape —
-    and each grid program selects its head via the COLUMN block index
-    (blocks are (1, q_blk, D), legal under Mosaic's last-two-dims rule
-    because D is a lane multiple). Requires D % 128 == 0; the dispatcher
-    falls back to the transposing path for smaller head dims."""
+    and each grid program selects its head(s) via the COLUMN block index.
+    Blocks are (1, q_blk, max(D, 128)): for D >= 128 one head per program;
+    for D=64 two heads pack into one lane-aligned block and run side by
+    side (see _flash_kernel_bshd). Requires 128 % D == 0 or D % 128 == 0,
+    and H divisible by the pack factor — every registry model qualifies."""
     b, s, h, d = q.shape
-    assert d % 128 == 0, f"bshd flash needs lane-aligned head dim, got {d}"
+    pack = 1 if d % 128 == 0 else 128 // d
+    assert d * pack >= 128 and (d % 128 == 0 or 128 % d == 0), d
+    assert h % pack == 0, (h, pack)
+    bw = d * pack
     if not q_blk or not kv_blk:
         auto_q, auto_kv = pick_flash_blocks(s, d)
         q_blk = q_blk or auto_q
@@ -156,9 +229,9 @@ def flash_attention_bshd(
     v = _pad_seq(v.reshape(b, s, h * d), kv_blk)
     sq, sk = q.shape[1], k.shape[1]
 
-    grid = (b, h, sq // q_blk, sk // kv_blk)
+    grid = (b, h // pack, sq // q_blk, sk // kv_blk)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_blk=kv_blk, kv_axis=3
+        _flash_kernel_bshd, scale=scale, kv_blk=kv_blk, d_head=d, pack=pack
     )
     vlen = jnp.array([orig_s], dtype=jnp.int32)
 
@@ -168,15 +241,15 @@ def flash_attention_bshd(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, q_blk, d), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
-                pl.BlockSpec((1, kv_blk, d), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
-                pl.BlockSpec((1, kv_blk, d), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
+                pl.BlockSpec((1, q_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
+                pl.BlockSpec((1, kv_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
+                pl.BlockSpec((1, kv_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
             ],
-            out_specs=pl.BlockSpec((1, q_blk, d), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
+            out_specs=pl.BlockSpec((1, q_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
             scratch_shapes=[
                 pltpu.VMEM((q_blk, 128), jnp.float32),
                 pltpu.VMEM((q_blk, 128), jnp.float32),
-                pltpu.VMEM((q_blk, d), jnp.float32),
+                pltpu.VMEM((q_blk, bw), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),

@@ -252,6 +252,35 @@ def test_flash_attention_bshd_matches_bhsd():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_flash_attention_bshd_packed_d64():
+    """d=64: two heads pack per 128-lane block (SD3/SD3.5 head dim)."""
+    from diffusionkit_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_bshd,
+    )
+
+    rs = np.random.RandomState(12)
+    q = rs.randn(2, 4, 200, 64).astype(np.float32)
+    k = rs.randn(2, 4, 200, 64).astype(np.float32)
+    v = rs.randn(2, 4, 200, 64).astype(np.float32)
+    scale = 64**-0.5
+    want = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, q_blk=128, kv_blk=128, interpret=True,
+        )
+    )
+    got = np.asarray(
+        flash_attention_bshd(
+            jnp.asarray(q.transpose(0, 2, 1, 3)),
+            jnp.asarray(k.transpose(0, 2, 1, 3)),
+            jnp.asarray(v.transpose(0, 2, 1, 3)),
+            scale=scale, q_blk=128, kv_blk=128, interpret=True,
+        )
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Sampler schedules (reference sampler.py:10-77, mlx/__init__.py:559-571)
 # ---------------------------------------------------------------------------
