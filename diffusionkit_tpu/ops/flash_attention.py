@@ -111,9 +111,14 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     4608 (+5.9% wasted rows) while 256 tiles it exactly.
     Falls back to streaming 512/1024 tiles for very long sequences.
     """
+    import os
+
     s128 = -(-s // 128) * 128
     if s128 * 128 <= _SCORE_BUDGET:
         cap = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
+        env = os.environ.get("DIFFUSIONKIT_TPU_FLASH_QBLK")  # sweep knob
+        if env:
+            return min(int(env), cap), s128
         for q_blk in range(cap, 127, -128):
             if s128 % q_blk == 0:
                 return q_blk, s128
