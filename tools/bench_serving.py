@@ -25,35 +25,43 @@ def main():
     from diffusionkit_tpu.pipeline import FluxPipeline
 
     # quantize_t5: int4 MMDiT (7.5 GB) + bf16 T5 (9.4 GB) overflows a 16 GB
-    # v5e; w8a8 T5 (4.7 GB) keeps every phase resident for serving.
+    # v5e; w8a8 T5 (4.7 GB) keeps every phase resident for serving. w4a8
+    # runs the denoise on the int8 MXU at the int4 HBM footprint.
     pipe = FluxPipeline(
         model_version="argmaxinc/mlx-FLUX.1-schnell-4bit-quantized",
         low_memory_mode=False, use_scan=True, quantize_t5=True,
+        quantize_mmdit="w4a8",
     )
     prompts = [f"a photo of a cat number {i}" for i in range(8)]
     for batch in (1, 4, 8):
         texts = prompts[:batch]
         seeds = list(range(batch))
-        # compile
-        imgs = pipe.generate_images_batched(
-            texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64), seeds=seeds
-        )
-        np.asarray(imgs[0])
-        t0 = time.perf_counter()
-        n_runs = 3
-        for r in range(n_runs):
+        try:
+            # compile
             imgs = pipe.generate_images_batched(
-                texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64),
-                seeds=[s + r for s in seeds],
+                texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64), seeds=seeds
             )
-            np.asarray(imgs[-1])
-        dt = (time.perf_counter() - t0) / n_runs
-        print(json.dumps({
-            "metric": "flux_int4_512_4step_images_per_min",
-            "batch": batch,
-            "s_per_batch": round(dt, 3),
-            "images_per_min": round(60.0 * batch / dt, 1),
-        }), flush=True)
+            np.asarray(imgs[0])
+            t0 = time.perf_counter()
+            n_runs = 3
+            for r in range(n_runs):
+                imgs = pipe.generate_images_batched(
+                    texts, num_steps=4, cfg_weight=0.0, latent_size=(64, 64),
+                    seeds=[s + r for s in seeds],
+                )
+                np.asarray(imgs[-1])
+            dt = (time.perf_counter() - t0) / n_runs
+            print(json.dumps({
+                "metric": "flux_w4a8_512_4step_images_per_min",
+                "batch": batch,
+                "s_per_batch": round(dt, 3),
+                "images_per_min": round(60.0 * batch / dt, 1),
+            }), flush=True)
+        except Exception as e:  # batch 8 can exceed 16 GB HBM — report & go on
+            print(json.dumps({
+                "metric": "flux_w4a8_512_4step_images_per_min",
+                "batch": batch, "error": f"{type(e).__name__}: {str(e)[:120]}",
+            }), flush=True)
 
 
 if __name__ == "__main__":
