@@ -23,27 +23,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf(x: jnp.ndarray) -> jnp.ndarray:
-    """erf for Pallas kernels (Mosaic has no erf primitive).
-
-    Abramowitz & Stegun 7.1.26 rational approximation, max abs error
-    1.5e-7 — two decimal orders below the bf16 output quantum, so the fused
-    GELU epilogues stay within the exact-erf parity tolerance."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    )
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(y: jnp.ndarray) -> jnp.ndarray:
-    return 0.5 * y * (1.0 + _erf(y * (2.0**-0.5)))
-
-
 def _kernel(
     x_ref,       # (bm, bk) input dtype
     q_ref,       # (bk/8, bn) uint32
@@ -54,7 +33,6 @@ def _kernel(
     *,
     group_size: int,
     out_dtype,
-    act: str = None,
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -87,14 +65,11 @@ def _kernel(
 
     @pl.when(ki == nk - 1)
     def _():
-        y = acc_ref[...]
-        if act == "gelu":  # exact erf, f32 — fuses the MLP activation
-            y = _gelu_exact(y)
-        o_ref[...] = y.astype(out_dtype)
+        o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "bn", "act", "interpret")
+    jax.jit, static_argnames=("bm", "bk", "bn", "interpret")
 )
 def int4_matmul(
     x: jnp.ndarray,
@@ -104,15 +79,12 @@ def int4_matmul(
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
-    act: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y[M, N] = act(x[M, K] @ dequant(q4, scales, zeros)); fp32 accumulation.
+    """y[M, N] = x[M, K] @ dequant(q4, scales, zeros); fp32 accumulation.
 
     M is padded to bm; K and N must divide bk/bn (model dims are multiples of
     512 for every registry model: hidden 1536/2432/3072, mlp 4x).
-    ``act="gelu"`` is only valid for bias-free layers (the bias add happens
-    outside this kernel and GELU must follow it).
     """
     m, k = x.shape
     k8, n = q4.shape
@@ -130,7 +102,7 @@ def int4_matmul(
     grid = (mp // bm, n // bn, k // bk)
     gper = bk // group_size
     out = pl.pallas_call(
-        functools.partial(_kernel, group_size=group_size, out_dtype=x.dtype, act=act),
+        functools.partial(_kernel, group_size=group_size, out_dtype=x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -207,16 +179,16 @@ def int4_linear(
         for dim in x.shape[:-1]:
             m *= dim
         bm = pick_m_block(m, bk, bn)
-    has_bias = p.get("bias") is not None
     y = int4_matmul(
         x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
-        bm=bm, bk=bk, bn=bn, act=None if has_bias else act,
-        interpret=interpret,
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     y = y.reshape(*lead, y.shape[-1])
-    if has_bias:
-        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32))
-        if act == "gelu":  # bias precedes GELU; XLA fuses this chain
+    if p.get("bias") is not None or act == "gelu":
+        y = y.astype(jnp.float32)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(jnp.float32)
+        if act == "gelu":  # XLA-side; fuses into the kernel's consumer
             y = jax.nn.gelu(y, approximate=False)
         y = y.astype(x.dtype)
     return y
@@ -230,7 +202,7 @@ def int4_linear(
 # ---------------------------------------------------------------------------
 
 
-def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtype, act=None):
+def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtype):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -251,13 +223,10 @@ def _kernel8(x_ref, q_ref, s_ref, z_ref, o_ref, acc_ref, *, group_size, out_dtyp
 
     @pl.when(ki == nk - 1)
     def _():
-        y = acc_ref[...]
-        if act == "gelu":
-            y = _gelu_exact(y)
-        o_ref[...] = y.astype(out_dtype)
+        o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "act", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn", "interpret"))
 def int8_matmul(
     x: jnp.ndarray,
     q8: jnp.ndarray,
@@ -266,10 +235,9 @@ def int8_matmul(
     bm: int = 256,
     bk: int = 512,
     bn: int = 512,
-    act: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """y = act(x @ dequant(q8)); fused group-affine dequant, fp32 accumulation."""
+    """y = x @ dequant(q8); fused group-affine dequant, fp32 accumulation."""
     m, k = x.shape
     _, n = q8.shape
     groups = scales.shape[0]
@@ -281,7 +249,7 @@ def int8_matmul(
     mp = x.shape[0]
     gper = bk // group_size
     out = pl.pallas_call(
-        functools.partial(_kernel8, group_size=group_size, out_dtype=x.dtype, act=act),
+        functools.partial(_kernel8, group_size=group_size, out_dtype=x.dtype),
         grid=(mp // bm, n // bn, k // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -324,15 +292,15 @@ def int8_linear(
         for dim in x.shape[:-1]:
             m *= dim
         bm = pick_m_block(m, bk, bn)
-    has_bias = p.get("bias") is not None
     y = int8_matmul(
         x.reshape(-1, k), p["q8"], p["scales"], p["zeros"],
-        bm=bm, bk=bk, bn=bn, act=None if has_bias else act,
-        interpret=interpret,
+        bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     y = y.reshape(*lead, n)
-    if has_bias:
-        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32))
+    if p.get("bias") is not None or act == "gelu":
+        y = y.astype(jnp.float32)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(jnp.float32)
         if act == "gelu":
             y = jax.nn.gelu(y, approximate=False)
         y = y.astype(x.dtype)

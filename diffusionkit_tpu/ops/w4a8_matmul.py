@@ -35,8 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .int4_matmul import _gelu_exact
-
 
 def _kernel(
     x_ref,       # (bm, bk) int8 — pre-quantized activations
@@ -50,7 +48,6 @@ def _kernel(
     acc_ref,     # (bm, bn) int32 scratch
     *,
     group_size: int,
-    act: str = None,
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -85,21 +82,18 @@ def _kernel(
     @pl.when(ki == nk - 1)
     def _():
         # In-kernel epilogue: dequantized result straight to the output dtype
-        # (the int32 accumulator never touches HBM). Optional exact-erf GELU
-        # (models/mmdit ffn_gelu uses approximate=False) fuses the MLP
-        # activation too — one fewer full read+write pass over the fc1
-        # output (~107 MB/block at FLUX 1024^2).
-        y = (
+        # (the int32 accumulator never touches HBM). GELU deliberately NOT
+        # fused here: its erf temporaries push the (bm, bn) tile past the
+        # 16 MB scoped-VMEM limit at bm=1024, and shrinking bm costs more
+        # in repeated dequant passes than the fused activation saves.
+        o_ref[...] = (
             acc_ref[...].astype(jnp.float32) * xs_ref[:, 0:1] * ws_ref[...]
             + b_ref[...]
-        )
-        if act == "gelu":
-            y = _gelu_exact(y)
-        o_ref[...] = y.astype(o_ref.dtype)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "bn", "out_dtype", "act", "interpret")
+    jax.jit, static_argnames=("bm", "bk", "bn", "out_dtype", "interpret")
 )
 def w4a8_matmul(
     x8: jnp.ndarray,
@@ -113,7 +107,6 @@ def w4a8_matmul(
     bk: int = 512,
     bn: int = 512,
     out_dtype=jnp.float32,
-    act: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """y[M, N] = (x8 @ round(q * s8 + z8)) * xscale * wscale + bias.
@@ -139,7 +132,7 @@ def w4a8_matmul(
     mp = x8.shape[0]
     gper = bk // group_size
     out = pl.pallas_call(
-        functools.partial(_kernel, group_size=group_size, act=act),
+        functools.partial(_kernel, group_size=group_size),
         grid=(mp // bm, n // bn, k // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
@@ -289,6 +282,10 @@ def w4a8_linear(
     x8, xscale = quantize_activations(x.reshape(-1, k))
     y = w4a8_matmul(
         x8, p["q4"], s8, z8, ws, xscale, bias,
-        bm=bm, bk=bk, bn=bn, out_dtype=x.dtype, act=act, interpret=interpret,
+        bm=bm, bk=bk, bn=bn, out_dtype=x.dtype, interpret=interpret,
     )
+    if act == "gelu":
+        # XLA-side: fuses into the kernel's consumer chain. In-kernel erf
+        # was tried and lost (VMEM; see _kernel epilogue note).
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
     return y.reshape(*lead, n)
