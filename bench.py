@@ -190,6 +190,53 @@ def bench_sd3_w8a8():
     }
 
 
+def bench_sd35_w4a8():
+    """SD3.5-large (8B, 38 blocks, QK-norm) 1024^2 CFG — the third model
+    family at its production resolution, int4 storage on the int8 MXU."""
+    from diffusionkit_tpu.config import SD3_8b
+    from diffusionkit_tpu.flops import mmdit_step_flops
+    from diffusionkit_tpu.models import init_mmdit_params
+    from diffusionkit_tpu.pipeline import _denoise_step
+    from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
+
+    config = SD3_8b
+    params = add_wscale_bound_tree(
+        init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+    )
+    jax.block_until_ready(params)
+    latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
+    cond = jnp.zeros((2, 154, 4096), config.dtype)
+    pooled = jnp.zeros((2, 2048), config.dtype)
+    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
+
+    def step(x, i):
+        return _denoise_step(
+            params, x,
+            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
+            cond, pooled, jnp.asarray(5.0, jnp.float32), None, config, True, None,
+        )
+
+    n = max(NUM_STEPS_TIMED // 2, 8)
+    ms = _chain_time(step, latent, n) * 1000
+    flops = mmdit_step_flops(config, (128, 128), 154, cfg=True)["total"]
+    tflops, mfu = _mfu(flops, ms)
+    return {
+        "metric": "sd35_large_w4a8_1024_cfg_denoise_ms_per_step",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(1000.0 / ms, 3),  # round-1 int4 measured 1092 ms
+        "extra": {
+            "s_per_image_28step": round(ms * 28 / 1000, 3),
+            "step_tflop": round(flops / 1e12, 2),
+            "achieved_tflops": tflops,
+            "mfu_vs_bf16_peak": mfu,
+            "timed_steps": n,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def bench_sd3_e2e():
     """Full pipeline p50 on the local full-size checkpoint mirror
     (tools/make_ckpt_mirror.py): text encode + scan denoise + VAE decode."""
@@ -287,6 +334,7 @@ def main():
         "flux-e2e": bench_flux_e2e,
         "sd3-e2e": bench_sd3_e2e,
         "sd3-w8a8": bench_sd3_w8a8,
+        "sd35-w4a8": bench_sd35_w4a8,
     }.get(mode, bench_sd3)
     print(json.dumps(fn()))
 
