@@ -67,15 +67,20 @@ def xla_sdpa(
 
 def _flash_tp(q, k, v, scale: float, mesh, axis: str = "model", layout: str = "bhsd"):
     """Pallas flash under GSPMD: shard_map over the head axis (already the
-    activation sharding produced by column-parallel q/k/v projections)."""
+    activation sharding produced by column-parallel q/k/v projections).
+    Interpret mode off-TPU so the path is testable on the virtual CPU mesh."""
+    interpret = not _on_tpu()
     if layout == "bshd":
         spec = P(None, None, axis, None)
-        fn = partial(flash_attention_bshd, scale=scale)
+        fn = partial(flash_attention_bshd, scale=scale, interpret=interpret)
     else:
         spec = P(None, axis, None, None)
-        fn = partial(flash_attention, scale=scale)
+        fn = partial(flash_attention, scale=scale, interpret=interpret)
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        # pallas_call out_shapes carry no varying-mesh-axes info; the kernel
+        # is trivially per-shard (no collectives), so skip the vma check.
+        check_vma=False,
     )(q, k, v)
 
 
