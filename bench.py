@@ -303,11 +303,11 @@ def bench_flux_e2e():
     prompts = ["a cat", "a dog on a beach", "an astronaut riding a horse"]
     pipe.generate_image(prompts[0], num_steps=4, cfg_weight=0.0,
                         latent_size=(128, 128), seed=0, verbose=False)
-    times = []
+    times, log = [], None
     for i, prompt in enumerate(prompts):
         t0 = time.perf_counter()
-        img, _ = pipe.generate_image(prompt, num_steps=4, cfg_weight=0.0,
-                                     latent_size=(128, 128), seed=i, verbose=False)
+        img, log = pipe.generate_image(prompt, num_steps=4, cfg_weight=0.0,
+                                       latent_size=(128, 128), seed=i, verbose=False)
         np.asarray(img)
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
@@ -318,6 +318,10 @@ def bench_flux_e2e():
         "vs_baseline": round(2.0 / p50, 3),  # BASELINE north star (v5p target)
         "extra": {
             "runs": [round(t, 3) for t in times],
+            "phases_last_run": {
+                k: log[k]["time"]
+                for k in ("text_encoding", "denoising", "decoding")
+            },
             "use_scan": True,
             "weights": "MLX 4-bit file, lossless repack + w4a8 kernels",
             "backend": jax.default_backend(),
