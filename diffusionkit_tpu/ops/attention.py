@@ -67,14 +67,20 @@ def xla_sdpa(
 
 def _flash_tp(q, k, v, scale: float, mesh, axis: str = "model", layout: str = "bhsd"):
     """Pallas flash under GSPMD: shard_map over the head axis (already the
-    activation sharding produced by column-parallel q/k/v projections).
-    Interpret mode off-TPU so the path is testable on the virtual CPU mesh."""
+    activation sharding produced by column-parallel q/k/v projections), and
+    over the data axis for the batch when it divides (otherwise the CFG
+    batch would be all-gathered and attention computed redundantly on every
+    data-axis device). Interpret mode off-TPU so the path is testable on
+    the virtual CPU mesh."""
     interpret = not _on_tpu()
+    b = q.shape[0]
+    data = "data" if ("data" in mesh.shape and mesh.shape["data"] > 1
+                      and b % mesh.shape["data"] == 0) else None
     if layout == "bshd":
-        spec = P(None, None, axis, None)
+        spec = P(data, None, axis, None)
         fn = partial(flash_attention_bshd, scale=scale, interpret=interpret)
     else:
-        spec = P(None, axis, None, None)
+        spec = P(data, axis, None, None)
         fn = partial(flash_attention, scale=scale, interpret=interpret)
     return jax.shard_map(
         fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -127,9 +133,15 @@ def sdpa(
     # The bshd Pallas path needs lane-aligned blocks: one head per program
     # when d % 128 == 0, or 128//d heads packed per program when d divides
     # 128 (d=64 models). Anything else transposes around the bhsd kernel.
-    bshd_ok = head_dim % 128 == 0 or (
-        128 % head_dim == 0 and num_heads % (128 // head_dim) == 0
-    )
+    # Under a mesh the kernel sees PER-SHARD head counts (shard_map over the
+    # model axis), so the pack-divisibility requirement applies to
+    # num_heads // tp, not the global count (SD3.5: 38 heads, d=64, tp=2 ->
+    # 19 local heads fails pack=2 and must transpose).
+    pack = max(1, 128 // head_dim) if 128 % head_dim == 0 else 0
+    kernel_heads = num_heads // mesh.shape["model"] if (
+        mesh is not None and num_heads % mesh.shape["model"] == 0
+    ) else num_heads
+    bshd_ok = head_dim % 128 == 0 or (pack > 0 and kernel_heads % pack == 0)
     # A/B escape hatch: DIFFUSIONKIT_TPU_ATTN_LAYOUT=bhsd forces the
     # transposing path even for bshd-capable shapes (strided head-column
     # DMAs vs materialised transposes trade off per shape).

@@ -114,7 +114,10 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     import os
 
     s128 = -(-s // 128) * 128
-    if s128 * 128 <= _SCORE_BUDGET:
+    # Single-tile kv needs the f32 score buffer AND both whole-sequence k/v
+    # tiles resident; past ~6k the combination exceeds the ~13 MB that
+    # empirically fits (2048² resolutions fall back to streaming tiles).
+    if s128 * 128 <= _SCORE_BUDGET and s128 <= 6144:
         cap = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
         env = os.environ.get("DIFFUSIONKIT_TPU_FLASH_QBLK")  # sweep knob
         if env:
@@ -132,8 +135,8 @@ def _flash_kernel_bshd(
     k_ref,  # VMEM (1, kv_blk, pack*d)
     v_ref,  # VMEM (1, kv_blk, pack*d)
     o_ref,  # VMEM (1, q_blk, pack*d)
-    m_ref,  # VMEM (q_blk, 128) fp32 — running max, one d-wide segment/head
-    l_ref,  # VMEM (q_blk, 128) fp32 — running denominator, segmented
+    m_ref,  # VMEM (q_blk, pack*d) fp32 — running max, one d-wide segment/head
+    l_ref,  # VMEM (q_blk, pack*d) fp32 — running denominator, segmented
     acc_ref,  # VMEM (q_blk, pack*d) fp32 — running numerator, segmented
     *,
     scale: float,
@@ -252,8 +255,11 @@ def flash_attention_bshd(
             ],
             out_specs=pl.BlockSpec((1, q_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
             scratch_shapes=[
-                pltpu.VMEM((q_blk, 128), jnp.float32),
-                pltpu.VMEM((q_blk, 128), jnp.float32),
+                # m/l sized to the block width: the kernel writes d-wide
+                # segments per packed head, so bw (not 128) is required when
+                # a single head spans more than one lane tile (d=256).
+                pltpu.VMEM((q_blk, bw), jnp.float32),
+                pltpu.VMEM((q_blk, bw), jnp.float32),
                 pltpu.VMEM((q_blk, bw), jnp.float32),
             ],
         ),

@@ -69,6 +69,10 @@ class GenerationServer:
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.queue: "queue.Queue[_Job]" = queue.Queue()
+        # Serialises every pipeline call: the worker holds it per batch and
+        # /warmup (which runs on a handler thread) takes it per bucket, so
+        # warmup can never race an in-flight batch on the chip.
+        self._pipeline_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -85,9 +89,16 @@ class GenerationServer:
         )
 
     def generate(self, req: dict):
-        height, width = int(req.get("height", 512)), int(req.get("width", 512))
+        # Validate ALL numeric fields on the handler thread: a malformed
+        # request must 400 here, never raise inside the worker loop (an
+        # uncaught worker exception would kill the batching thread and hang
+        # every queued client forever).
+        key = self._key(req)
+        height, width = key[0], key[1]
         if height % 16 or width % 16:
             raise ValueError("height/width must be divisible by 16")
+        if not isinstance(req.get("prompt"), str):
+            raise ValueError("prompt must be a string")
         job = _Job(req)
         self.queue.put(job)
         job.event.wait()
@@ -100,27 +111,52 @@ class GenerationServer:
     def _run(self):
         while True:
             first = self.queue.get()
-            time.sleep(self.batch_window_s)  # let neighbours arrive
+            if self.max_batch > 1 and self.queue.qsize() < self.max_batch - 1:
+                time.sleep(self.batch_window_s)  # let neighbours arrive
             batch = [first]
             deferred = []
-            key = self._key(first.req)
+            try:
+                key = self._key(first.req)
+            except Exception as e:  # defensive: generate() pre-validates
+                first.error = e
+                first.event.set()
+                continue
             while len(batch) < self.max_batch:
                 try:
                     job = self.queue.get_nowait()
                 except queue.Empty:
                     break
-                (batch if self._key(job.req) == key else deferred).append(job)
+                try:
+                    same = self._key(job.req) == key
+                except Exception as e:
+                    job.error = e
+                    job.event.set()
+                    continue
+                (batch if same else deferred).append(job)
             for job in deferred:  # different bucket: next round
                 self.queue.put(job)
             try:
                 self._run_batch(key, batch)
-            except Exception as e:  # pragma: no cover
-                logger.exception("batch generation failed")
+            except Exception as e:
+                if len(batch) == 1:
+                    batch[0].error = e
+                    batch[0].event.set()
+                    continue
+                # One bad request must not fail its batch neighbours:
+                # retry each job alone so only the offender errors.
+                logger.exception("batch generation failed; retrying per job")
                 for job in batch:
-                    job.error = e
-                    job.event.set()
+                    try:
+                        self._run_batch(key, [job])
+                    except Exception as je:
+                        job.error = je
+                        job.event.set()
 
     def _run_batch(self, key, batch):
+        with self._pipeline_lock:
+            self._run_batch_locked(key, batch)
+
+    def _run_batch_locked(self, key, batch):
         height, width, steps, cfg, guidance, num_images, has_image = key
         if num_images > 1 or has_image:
             # Multi-image or img2img: single-request path.
@@ -165,10 +201,11 @@ class GenerationServer:
         b = 1
         compiled = []
         while b <= top:
-            self.pipeline.generate_images_batched(
-                ["warmup"] * b, num_steps=steps, cfg_weight=cfg,
-                latent_size=(height // 8, width // 8), seeds=[0] * b,
-            )
+            with self._pipeline_lock:
+                self.pipeline.generate_images_batched(
+                    ["warmup"] * b, num_steps=steps, cfg_weight=cfg,
+                    latent_size=(height // 8, width // 8), seeds=[0] * b,
+                )
             compiled.append(b)
             b *= 2
         return {"compiled_buckets": compiled, "steps": steps, "cfg": cfg,

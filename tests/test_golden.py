@@ -64,6 +64,7 @@ def test_pipeline_correctness_golden_images():
             quantize_mmdit=example.get("quantize_mmdit", False),
             shift=example.get("shift", 1.0 if "FLUX" in version else 3.0),
         )
+        image_prompt = example.get("image_prompt")
         img, _ = pipe.generate_image(
             example["prompt"],
             num_steps=example["steps"],
@@ -73,6 +74,9 @@ def test_pipeline_correctness_golden_images():
             seed=example["seed"],
             verbose=False,
             guidance=example.get("guidance"),
+            # img2img rows reference another pinned image as the prompt.
+            image_path=str(_DATASET / image_prompt) if image_prompt else None,
+            denoise=float(example.get("denoise", 1.0)),
         )
         ref = Image.open(_DATASET / example["image"])
         psnr = image_psnr(ref, img)

@@ -42,6 +42,14 @@ RUNS = {
         steps=4, cfg=0.0, height=512, width=512, seed=42, use_t5=True,
         quantize_mmdit=True, guidance=3.5,
     ),
+    # img2img: the image prompt is the pinned sd3_medium txt2img golden, so
+    # the dataset is self-contained and test_golden can replay the run.
+    "sd3_medium_img2img": dict(
+        model_version="argmaxinc/mlx-stable-diffusion-3-medium",
+        steps=50, cfg=5.0, height=512, width=512, seed=43, use_t5=False,
+        prompt="a photo of a cat in a wizard hat, oil painting",
+        image_prompt="sd3_medium_seed42.png", denoise=0.6,
+    ),
 }
 
 
