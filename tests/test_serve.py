@@ -113,3 +113,23 @@ def test_errors(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url, {"prompt": "x", "height": 65})
     assert e.value.code == 400
+
+
+def test_malformed_numeric_field_returns_400_and_server_survives(server_url):
+    """A request with a non-numeric steps field must 400 on the handler
+    thread (round-2 review: it previously raised inside the batching worker,
+    killing it and hanging every later client)."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url, {"prompt": "a cat", "steps": "abc",
+                           "height": 64, "width": 64})
+    assert e.value.code == 400
+    # The worker is still alive: a well-formed request completes.
+    with _post(server_url, {"prompt": "a cat", "seed": 2,
+                            "height": 64, "width": 64}) as r:
+        assert r.status == 200
+
+
+def test_non_string_prompt_rejected(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url, {"prompt": {"bad": 1}, "height": 64, "width": 64})
+    assert e.value.code == 400
