@@ -644,12 +644,8 @@ class DiffusionPipeline:
         else:
             self.check_and_load_models()
 
-        # HBM snapshots only when verbose: each device_memory_stats call is
-        # an RPC through this box's chip relay (~6 per image adds real
-        # latency to the steady-state path the benches measure).
-        mem = self._mem if verbose else (lambda: {})
         log: Dict[str, Any] = {
-            "text_encoding": {"pre": mem(), "post": {}, "time": None},
+            "text_encoding": {"pre": self._mem(), "post": {}, "time": None},
             "denoising": {"pre": {}, "post": {}, "time": None, "iter_time": []},
             "decoding": {"pre": {}, "post": {}, "time": None},
             "peak_memory": 0.0,
@@ -662,7 +658,7 @@ class DiffusionPipeline:
         t0 = time.time()
         conditioning, pooled = self.encode_text(text, cfg_weight, negative_text)
         jax.block_until_ready(conditioning)
-        log["text_encoding"]["post"] = mem()
+        log["text_encoding"]["post"] = self._mem()
         log["text_encoding"]["time"] = round(time.time() - t0, 3)
         track_peak(log["text_encoding"]["post"])
         if verbose:
@@ -679,7 +675,7 @@ class DiffusionPipeline:
         if self.mmdit_params is None:
             self.load_mmdit()
         t0 = time.time()
-        log["denoising"]["pre"] = mem()
+        log["denoising"]["pre"] = self._mem()
         # Optional profiler capture of the hot loop (TPU equivalent of the
         # reference's per-phase timing contract, SURVEY.md §5: "same phase
         # log + jax.profiler trace option").
@@ -703,7 +699,7 @@ class DiffusionPipeline:
         if prof:
             jax.profiler.stop_trace()
             logger.info("Profiler trace written to %s", prof)
-        log["denoising"]["post"] = mem()
+        log["denoising"]["post"] = self._mem()
         log["denoising"]["time"] = round(time.time() - t0, 3)
         log["denoising"]["iter_time"] = iter_time
         track_peak(log["denoising"]["post"])
@@ -717,10 +713,10 @@ class DiffusionPipeline:
         if self.decoder_params is None:
             self.load_decoder()
         t0 = time.time()
-        log["decoding"]["pre"] = mem()
+        log["decoding"]["pre"] = self._mem()
         decoded = self.decode_latents_to_image(latents)
         decoded.block_until_ready()
-        log["decoding"]["post"] = mem()
+        log["decoding"]["post"] = self._mem()
         log["decoding"]["time"] = round(time.time() - t0, 3)
         track_peak(log["decoding"]["post"])
         if verbose:
