@@ -184,13 +184,10 @@ def int4_linear(
         bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     y = y.reshape(*lead, y.shape[-1])
-    if p.get("bias") is not None or act == "gelu":
-        y = y.astype(jnp.float32)
-        if p.get("bias") is not None:
-            y = y + p["bias"].astype(jnp.float32)
-        if act == "gelu":  # XLA-side; fuses into the kernel's consumer
-            y = jax.nn.gelu(y, approximate=False)
-        y = y.astype(x.dtype)
+    if p.get("bias") is not None:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    if act == "gelu":  # XLA-side in the model dtype; fuses into the consumer
+        y = jax.nn.gelu(y, approximate=False)
     return y
 
 
@@ -297,11 +294,8 @@ def int8_linear(
         bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
     y = y.reshape(*lead, n)
-    if p.get("bias") is not None or act == "gelu":
-        y = y.astype(jnp.float32)
-        if p.get("bias") is not None:
-            y = y + p["bias"].astype(jnp.float32)
-        if act == "gelu":
-            y = jax.nn.gelu(y, approximate=False)
-        y = y.astype(x.dtype)
+    if p.get("bias") is not None:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    if act == "gelu":  # XLA-side in the model dtype; fuses into the consumer
+        y = jax.nn.gelu(y, approximate=False)
     return y

@@ -285,7 +285,8 @@ def w4a8_linear(
         bm=bm, bk=bk, bn=bn, out_dtype=x.dtype, interpret=interpret,
     )
     if act == "gelu":
-        # XLA-side: fuses into the kernel's consumer chain. In-kernel erf
-        # was tried and lost (VMEM; see _kernel epilogue note).
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+        # XLA-side, in the model dtype (an explicit f32 upcast here measured
+        # +20 ms/step at FLUX scale — it widens the fused elementwise pass).
+        # In-kernel erf was tried and lost (VMEM; see _kernel epilogue note).
+        y = jax.nn.gelu(y, approximate=False)
     return y.reshape(*lead, n)
