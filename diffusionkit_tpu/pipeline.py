@@ -190,6 +190,18 @@ def _decode_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig)
 
 
 @partial(jax.jit, static_argnames=("config",))
+def _decode_u8_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
+    """Decode straight to uint8 pixels ON DEVICE: the device->host transfer
+    is 3 bytes/pixel instead of 12 (f32) — ~10 MB saved per 1024² image on
+    the PCIe/relay hop. The f32->u8 convert truncates toward zero, exactly
+    matching the host-side ``(x * 255).astype(np.uint8)`` it replaces, so
+    outputs stay pixel-identical."""
+    x = apply_vae_decoder(params, latents, config)
+    x = jnp.clip(x / 2 + 0.5, 0.0, 1.0)
+    return (x * 255.0).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("config",))
 def _encode_step(params: Params, image: jnp.ndarray, noise: jnp.ndarray, config: VAEEncoderConfig):
     hidden = apply_vae_encoder(params, image, config)
     mean, logvar = jnp.split(hidden, 2, axis=-1)
@@ -572,6 +584,14 @@ class DiffusionPipeline:
             self.decoder_config,
         )
 
+    def _decode_latents_to_u8(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        """uint8 pixels decoded on device (see _decode_u8_step)."""
+        return _decode_u8_step(
+            self.decoder_params,
+            x_t.astype(self.activation_dtype),
+            self.decoder_config,
+        )
+
     def read_image(self, image_path: str) -> jnp.ndarray:
         from PIL import Image
 
@@ -714,7 +734,7 @@ class DiffusionPipeline:
             self.load_decoder()
         t0 = time.time()
         log["decoding"]["pre"] = self._mem()
-        decoded = self.decode_latents_to_image(latents)
+        decoded = self._decode_latents_to_u8(latents)
         decoded.block_until_ready()
         log["decoding"]["post"] = self._mem()
         log["decoding"]["time"] = round(time.time() - t0, 3)
@@ -726,7 +746,7 @@ class DiffusionPipeline:
             self.decoder_params = None
             gc.collect()
 
-        x = (np.asarray(decoded) * 255).astype(np.uint8)
+        x = np.asarray(decoded)  # already uint8 on device
         log["total_time"] = round(time.time() - start_time, 3)
         if verbose:
             logger.info("============= Summary =============")
@@ -820,8 +840,8 @@ class DiffusionPipeline:
         latents = self.latent_format.process_out(x)
         if self.decoder_params is None:
             self.load_decoder()
-        decoded = self.decode_latents_to_image(latents)
-        arr = (np.asarray(decoded) * 255).astype(np.uint8)
+        decoded = self._decode_latents_to_u8(latents)
+        arr = np.asarray(decoded)
         return [Image.fromarray(im) for im in arr]
 
 
