@@ -100,11 +100,43 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, s, nh * d)
 
 
-def _qkv(block: Params, x: jnp.ndarray, config: MMDiTConfig):
+def _mod_ln_maybe_quant(
+    consumer: Params,
+    x: jnp.ndarray,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    eps: float,
+):
+    """AdaLN LayerNorm whose output is quantized ONCE for its quantized
+    consumers.
+
+    The q/k/v projections (and FLUX's parallel-MLP fc1) all read the same
+    modulated-LN tensor; on the w8a8/w4a8 paths each would otherwise run its
+    own dynamic int8 quantization pass — the dominant elementwise cost of
+    the quantized FLUX step (round-2 profile: ~145 ms of ~452 ms). On TPU
+    the LayerNorm, modulation, absmax and round all run as ONE fused Pallas
+    pass (ops/fused_quant.mod_ln_quantize) and the float normed tensor never
+    reaches HBM. Returns an ActQuant the quantized linears consume directly;
+    float consumers get the plain modulated_layer_norm output.
+
+    ``consumer`` is the param dict of a representative consumer (they share
+    quantization mode by construction of quantize_tree/w8a8_tree).
+    """
+    from ..ops.fused_quant import fused_eligible, mod_ln_quantize
+    from ..ops.w8a8 import needs_act_quant, quantize_shared
+
+    if needs_act_quant(consumer):
+        if fused_eligible(x.shape[-1]) and x.ndim == 3:
+            return mod_ln_quantize(x, shift, scale, eps)
+        return quantize_shared(modulated_layer_norm(x, shift, scale, eps))
+    return modulated_layer_norm(x, shift, scale, eps)
+
+
+def _qkv(block: Params, x, config: MMDiTConfig):
     """Project to per-head q, k, v; apply QK-RMSNorm when configured.
 
     The key projection has no bias — redundant under softmax invariance
-    (reference mmdit.py:820-823).
+    (reference mmdit.py:820-823). ``x`` may be a shared ActQuant.
     """
     q = _split_heads(linear(block["q"], x), config.num_heads)
     k = _split_heads(linear(block["k"], x), config.num_heads)
@@ -152,8 +184,8 @@ def _mm_block(
     img_mods = _ada(bp["img"], c, 6)
     txt_mods = _ada(bp["txt"], c, 2 if final_skip_text else 6)
 
-    img_h = modulated_layer_norm(img, img_mods[0], img_mods[1], eps)
-    txt_h = modulated_layer_norm(txt, txt_mods[0], txt_mods[1], eps)
+    img_h = _mod_ln_maybe_quant(bp["img"]["q"], img, img_mods[0], img_mods[1], eps)
+    txt_h = _mod_ln_maybe_quant(bp["txt"]["q"], txt, txt_mods[0], txt_mods[1], eps)
 
     q_i, k_i, v_i = _qkv(bp["img"], img_h, config)
     q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
@@ -188,14 +220,16 @@ def _mm_block(
 
     img = img + img_mods[2] * linear(bp["img"]["o"], o_img)
     img = img + img_mods[5] * ffn_gelu(
-        bp["img"], modulated_layer_norm(img, img_mods[3], img_mods[4], eps)
+        bp["img"],
+        _mod_ln_maybe_quant(bp["img"]["fc1"], img, img_mods[3], img_mods[4], eps),
     )
 
     if final_skip_text:
         return img, txt
     txt = txt + txt_mods[2] * linear(bp["txt"]["o"], o_txt)
     txt = txt + txt_mods[5] * ffn_gelu(
-        bp["txt"], modulated_layer_norm(txt, txt_mods[3], txt_mods[4], eps)
+        bp["txt"],
+        _mod_ln_maybe_quant(bp["txt"]["fc1"], txt, txt_mods[3], txt_mods[4], eps),
     )
     return img, txt
 
@@ -218,7 +252,7 @@ def _unified_block(
     eps = config.layer_norm_eps
     n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
     mods = _ada(bp, c, n_mod)
-    h = modulated_layer_norm(x, mods[0], mods[1], eps)
+    h = _mod_ln_maybe_quant(bp["q"], x, mods[0], mods[1], eps)
     q, k, v = _qkv(bp, h, config)
     if rope is not None:
         cos, sin = rope
@@ -232,7 +266,7 @@ def _unified_block(
         return x + mods[2] * (linear(bp["o"], o) + ffn_gelu(bp, h))
     x = x + mods[2] * linear(bp["o"], o)
     return x + mods[5] * ffn_gelu(
-        bp, modulated_layer_norm(x, mods[3], mods[4], eps)
+        bp, _mod_ln_maybe_quant(bp["fc1"], x, mods[3], mods[4], eps)
     )
 
 

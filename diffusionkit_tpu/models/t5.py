@@ -77,9 +77,14 @@ def _t5_attention(
     def heads(t):
         return t.reshape(b, s, nh, -1).transpose(0, 2, 1, 3)
 
-    q = heads(linear(lp["query_proj"], x))
-    k = heads(linear(lp["key_proj"], x))
-    v = heads(linear(lp["value_proj"], x))
+    # q/k/v read the same normed input: quantize it once on the w8a8 path
+    # (quantize_t5) instead of once per projection.
+    from ..ops.w8a8 import needs_act_quant, quantize_shared
+
+    xq = quantize_shared(x) if needs_act_quant(lp["query_proj"]) else x
+    q = heads(linear(lp["query_proj"], xq))
+    k = heads(linear(lp["key_proj"], xq))
+    v = heads(linear(lp["value_proj"], xq))
     # T5: unscaled dot product + additive position bias, fp32 softmax.
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores + bias.astype(jnp.float32)[None]
@@ -105,7 +110,10 @@ def _t5_layer(lp: Params, x: jnp.ndarray, bias: jnp.ndarray, config: T5Config) -
     # against transformers.T5EncoderModel in tests/test_hf_parity.py. (The
     # reference uses exact-erf gelu here, t5.py:181 — a fidelity deviation
     # from the checkpoint's training behaviour that we do not reproduce.)
-    h = jax.nn.gelu(linear(lp["wi_0"], y), approximate=True) * linear(lp["wi_1"], y)
+    from ..ops.w8a8 import needs_act_quant, quantize_shared
+
+    yq = quantize_shared(y) if needs_act_quant(lp["wi_0"]) else y
+    h = jax.nn.gelu(linear(lp["wi_0"], yq), approximate=True) * linear(lp["wi_1"], yq)
     return x + linear(lp["wo"], h).astype(jnp.float32)
 
 

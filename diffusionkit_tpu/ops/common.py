@@ -33,6 +33,10 @@ def linear(params: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
         from .quantized import quantized_linear
 
         return quantized_linear(params, x, act=act)
+    from .w8a8 import ActQuant
+
+    if isinstance(x, ActQuant):  # shared pre-quant; float path uses the orig
+        x = x.to_float()
     y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     if params.get("bias") is not None:
         y = y + params["bias"].astype(jnp.float32)
@@ -50,11 +54,28 @@ def mlp_silu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return linear(params["fc2"], jax.nn.silu(linear(params["fc1"], x)))
 
 
+def _linear_out_dim(p: Params):
+    for key in ("kernel", "q4", "q8", "w8"):
+        if p.get(key) is not None:
+            return p[key].shape[-1]
+    return None
+
+
 def ffn_gelu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Transformer FFN with exact (erf) GELU (reference mmdit.py:827-835).
 
-    The activation fuses into fc1's kernel epilogue on the quantized Pallas
-    paths (see linear)."""
+    When fc2 quantizes its activations dynamically (w8a8 / w4a8), the GELU
+    and fc2's int8 quantization run as ONE fused Pallas pass over fc1's
+    output (ops/fused_quant.gelu_quantize) — the float GELU result never
+    reaches HBM. Otherwise the GELU is appended to fc1 and XLA fuses it into
+    the dot's consumer."""
+    from .fused_quant import fused_eligible, gelu_quantize
+    from .w8a8 import needs_act_quant
+
+    if needs_act_quant(params["fc2"]):
+        n = _linear_out_dim(params["fc1"])
+        if n is not None and fused_eligible(n):
+            return linear(params["fc2"], gelu_quantize(linear(params["fc1"], x)))
     return linear(params["fc2"], linear(params["fc1"], x, act="gelu"))
 
 

@@ -1,0 +1,227 @@
+"""Pallas TPU kernels fusing elementwise producers into int8 quantization.
+
+Round-2 profiling showed the quantized FLUX step spends ~145 ms (32% of
+device time) in XLA elementwise/quantize passes between the Pallas GEMMs:
+each dynamic activation quantization is a standalone absmax+round pass, the
+MLP GELU is a full read-modify-write of the 4H-wide hidden, and every
+modulated LayerNorm materialises its float output only for the next pass to
+re-read it. Each XLA pass pays HBM both ways; fusing producer → int8 in one
+kernel reads the input once and writes 1 byte/element instead of ~7.
+
+Two kernels (both row-parallel, full feature dim per block):
+
+  gelu_quantize(y)                -> ActQuant   (exact-erf GELU -> int8)
+  mod_ln_quantize(x, shift, sc)   -> ActQuant   (AdaLN LayerNorm -> int8)
+
+They emit the (int8, per-row scale) pair the w8a8/w4a8 linears consume
+directly (ops/w8a8.ActQuant with ``orig=None`` — no float output ever
+reaches HBM). Quantization math matches ops/w8a8.quantize_activations
+bit-for-bit given identical float inputs; the float math differs from the
+XLA path only in erf (Abramowitz & Stegun 7.1.26 polynomial, |err| < 3e-7 —
+Mosaic has no erf primitive) and reduction order, both far below the int8
+grid resolution.
+
+Role mirrored from the reference: ``mx.fast.layer_norm``'s fused
+scale/shift form (reference mmdit.py:849,958-972) — extended to also emit
+the quantized operand the reference (float-only) does not need.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .w8a8 import ActQuant
+
+# Per-block VMEM budget for the f32 working set (input + intermediate +
+# outputs, double-buffered by Mosaic). Conservative vs the v5e 16 MB/core
+# cap; scaled per chip generation (ops/chip.py).
+_VMEM_BUDGET_V5E = 6 << 20
+
+
+def _vmem_budget() -> int:
+    from .chip import scale_budget
+
+    return scale_budget(_VMEM_BUDGET_V5E)
+
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz & Stegun 7.1.26 rational approximation, |err| <= 1.5e-7.
+
+    Mosaic (Pallas TPU) has no erf primitive; this polynomial is VPU-only
+    (one exp, a handful of FMAs). f32 in/out.
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-erf GELU: x * 0.5 * (1 + erf(x / sqrt(2)))."""
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _quantize_rows(g: jnp.ndarray):
+    """Per-row symmetric int8 grid, identical to w8a8.quantize_activations."""
+    amax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-8)
+    scale = amax / 127.0
+    x8 = jnp.clip(jnp.round(g / scale), -127, 127).astype(jnp.int8)
+    return x8, scale
+
+
+def _gelu_quant_kernel(y_ref, x8_ref, s_ref):
+    g = _gelu_erf(y_ref[...].astype(jnp.float32))
+    x8, scale = _quantize_rows(g)
+    x8_ref[...] = x8
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+
+def _quant_kernel(y_ref, x8_ref, s_ref):
+    x8, scale = _quantize_rows(y_ref[...].astype(jnp.float32))
+    x8_ref[...] = x8
+    s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+
+def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
+    x = x_ref[0].astype(jnp.float32)  # (bm, H)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = xc * jax.lax.rsqrt(var + eps)
+    h = h * (1.0 + sc_ref[0].astype(jnp.float32)) + sh_ref[0].astype(jnp.float32)
+    x8, scale = _quantize_rows(h)
+    x8_ref[0] = x8
+    s_ref[0] = jnp.broadcast_to(scale, s_ref.shape[1:])
+
+
+def _pick_rows(n_feat: int, n_rows: int, bytes_per_elem: int = 8) -> int:
+    """Row-block size: multiple of 32 (int8 sublane tile), VMEM-bounded."""
+    bm = _vmem_budget() // (n_feat * bytes_per_elem)
+    bm = max(32, min(512, bm // 32 * 32))
+    return min(bm, max(32, -(-n_rows // 32) * 32))
+
+
+def _rowwise_call(kernel, y2: jnp.ndarray, interpret: bool):
+    """Run a (rows, feat) -> int8 + scale kernel over row blocks."""
+    interpret = interpret or _mode() == "interpret"
+    m, n = y2.shape
+    bm = _pick_rows(n, m)
+    pad = (-m) % bm
+    if pad:
+        y2 = jnp.pad(y2, ((0, pad), (0, 0)))
+    mp = y2.shape[0]
+    x8, s = pl.pallas_call(
+        kernel,
+        grid=(mp // bm,),
+        in_specs=[pl.BlockSpec((bm, n), lambda i: (i, 0))],
+        out_specs=(
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 128), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, n), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(y2)
+    return x8[:m], s[:m, :1]
+
+
+def _mode() -> str:
+    """"1" (TPU only, default), "0" (off), "interpret" (on anywhere via the
+    Pallas interpreter — CPU tests of the fused path)."""
+    return os.environ.get("DIFFUSIONKIT_TPU_FUSED_QUANT", "1")
+
+
+def _enabled() -> bool:
+    mode = _mode()
+    if mode == "0":
+        return False
+    if mode == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_eligible(n_feat: int) -> bool:
+    return n_feat % 128 == 0 and _enabled()
+
+
+def gelu_quantize(y: jnp.ndarray, interpret: bool = False) -> ActQuant:
+    """Exact-erf GELU fused with dynamic per-token int8 quantization.
+
+    y: (..., N) float -> ActQuant for the following quantized linear (fc2).
+    One HBM read of ``y`` and a 1-byte/element write replace the XLA chain
+    gelu-write + absmax-read + round-read-write (~9 bytes/element).
+    """
+    lead, n = y.shape[:-1], y.shape[-1]
+    x8, s = _rowwise_call(_gelu_quant_kernel, y.reshape(-1, n), interpret)
+    return ActQuant(
+        x8.reshape(*lead, n), s.reshape(*lead, 1), None, out_dtype=y.dtype
+    )
+
+
+def quantize(y: jnp.ndarray, interpret: bool = False) -> ActQuant:
+    """Standalone fused absmax+round pass (one read instead of two)."""
+    lead, n = y.shape[:-1], y.shape[-1]
+    x8, s = _rowwise_call(_quant_kernel, y.reshape(-1, n), interpret)
+    return ActQuant(
+        x8.reshape(*lead, n), s.reshape(*lead, 1), None, out_dtype=y.dtype
+    )
+
+
+def mod_ln_quantize(
+    x: jnp.ndarray,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> ActQuant:
+    """AdaLN LayerNorm (``norm(x) * (1+scale) + shift``) fused with int8
+    quantization of its output.
+
+    x: (B, S, H); shift/scale: (B, 1, H) — the per-sample modulation rows are
+    picked via the batch grid axis. The float normed tensor never reaches
+    HBM; consumers are the quantized q/k/v (+ FLUX fc1) projections.
+    """
+    interpret = interpret or _mode() == "interpret"
+    b, s, h = x.shape
+    bm = _pick_rows(h, s)
+    pad = (-s) % bm
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    sp = x.shape[1]
+    x8, sc = pl.pallas_call(
+        functools.partial(_mod_ln_quant_kernel, eps=eps),
+        grid=(b, sp // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bm, 128), lambda i, j: (i, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sp, h), jnp.int8),
+            jax.ShapeDtypeStruct((b, sp, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, shift, scale)
+    return ActQuant(
+        x8[:, :s], sc[:, :s, :1], None, out_dtype=x.dtype
+    )

@@ -162,7 +162,14 @@ def quantized_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
     fused dequant-matmul (ops/int4_matmul.py) so packed weights stream
     straight from HBM; otherwise dequantise in-jit and use a plain dot.
     ``act="gelu"`` (exact erf) fuses into the kernel epilogue where possible.
+    ``x`` may be a pre-quantized ActQuant (w8a8.quantize_shared); only the
+    w4a8 path consumes the int8 form, the others use the float original.
     """
+    from .w8a8 import ActQuant
+
+    preq = x if isinstance(x, ActQuant) else None
+    if preq is not None:
+        x = preq.to_float()
     if _quant_kernel_eligible(p, x):
         if "q4" in p:
             if "wscale" in p:
@@ -171,7 +178,7 @@ def quantized_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
                 # the per-channel wscale leaves.
                 from .w4a8_matmul import w4a8_linear
 
-                return w4a8_linear(p, x, act=act)
+                return w4a8_linear(p, preq if preq is not None else x, act=act)
             from .int4_matmul import int4_linear
 
             return int4_linear(p, x, act=act)

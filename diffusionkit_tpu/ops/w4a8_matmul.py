@@ -172,10 +172,14 @@ def pick_m_block(m: int, bk: int, bn: int) -> int:
     """
     # Bytes/row for x (double-buffered) + int32 acc + the xscale lane block;
     # headroom set so the measured bm=1088 sweet spot stays eligible at
-    # bk=1024/bn=512 (bm=2176 exceeded VMEM on chip).
-    budget = 5_200_000
+    # bk=1024/bn=512 (bm=2176 exceeded VMEM on v5e). Scaled per chip.
+    from .chip import scale_budget
+
+    budget = scale_budget(5_200_000)
+    # 1088 = measured v5e cap (2176 exceeded VMEM); scales with the budget.
+    bm_cap = scale_budget(1088)
     best, best_cost = 256, float("inf")
-    for c in range(128, 1088 + 1, 64):
+    for c in range(128, bm_cap + 1, 64):
         if c * (2 * bk + 4 * bn + 512) > budget:
             break
         ru = -(-m // c) * c
@@ -256,22 +260,31 @@ def w4a8_linear(
 ) -> jnp.ndarray:
     """Apply an int4-quantized linear param dict carrying a per-channel
     "wscale" leaf via the w4a8 kernel. x: (..., K) -> (..., N). bm 0 = auto;
-    ``act="gelu"`` fuses an exact-erf GELU into the kernel epilogue."""
+    ``act="gelu"`` applies an exact-erf GELU XLA-side after the kernel (fused
+    into the consumer — in-kernel erf was removed for VMEM, see _kernel).
+    ``x`` may be a pre-quantized ActQuant shared across sibling projections
+    (w8a8.quantize_shared) — the per-token dynamic-quantization pass is then
+    skipped entirely."""
     from .int4_matmul import _largest_divisor_block, pick_k_block
-    from .w8a8 import quantize_activations
+    from .w8a8 import ActQuant, quantize_activations
 
-    lead = x.shape[:-1]
-    k = x.shape[-1]
+    preq = x if isinstance(x, ActQuant) else None
+    if preq is not None:
+        lead, k, out_dtype = preq.shape[:-1], preq.shape[-1], preq.dtype
+    else:
+        lead, k, out_dtype = x.shape[:-1], x.shape[-1], x.dtype
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
     bk = pick_k_block(k, group)
     bn = _largest_divisor_block(n, 128, 1024)
     # VMEM guard: unpack int32 + f32 dequant + int8 requant temporaries are
-    # ~9 bytes per (bk, bn) element.
-    while bk * bn * 9 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
+    # ~9 bytes per (bk, bn) element. Budget scaled per chip (ops/chip.py).
+    from .chip import scale_budget
+
+    while bk * bn * 9 > scale_budget(6 << 20) and bn > 128 and n % (bn // 2) == 0:
         bn //= 2
     m = 1
-    for dim in x.shape[:-1]:
+    for dim in lead:
         m *= dim
     bm = bm or pick_m_block(m, bk, bn)
     ws = p["wscale"].astype(jnp.float32)
@@ -279,10 +292,14 @@ def w4a8_linear(
     s8 = p["scales"].astype(jnp.float32) * rws
     z8 = p["zeros"].astype(jnp.float32) * rws
     bias = p["bias"] if p.get("bias") is not None else jnp.zeros((n,), jnp.float32)
-    x8, xscale = quantize_activations(x.reshape(-1, k))
+    if preq is not None:
+        x8 = preq.x8.reshape(-1, k)
+        xscale = preq.xscale.reshape(-1, 1)
+    else:
+        x8, xscale = quantize_activations(x.reshape(-1, k))
     y = w4a8_matmul(
         x8, p["q4"], s8, z8, ws, xscale, bias,
-        bm=bm, bk=bk, bn=bn, out_dtype=x.dtype, interpret=interpret,
+        bm=bm, bk=bk, bn=bn, out_dtype=out_dtype, interpret=interpret,
     )
     if act == "gelu":
         # XLA-side, in the model dtype (an explicit f32 upcast here measured

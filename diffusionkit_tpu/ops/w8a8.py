@@ -24,13 +24,73 @@ Param schema (dispatched by ops.common.linear via the "w8" key):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
+
+
+class ActQuant(NamedTuple):
+    """A pre-quantized activation, shared across sibling quantized linears.
+
+    The MMDiT q/k/v projections (and FLUX's parallel-MLP fc1) all consume the
+    SAME modulated-layernorm output; quantizing it once and fanning the
+    (int8, scale) pair out removes 3 of the 4 per-input dynamic-quantization
+    passes — the dominant elementwise cost of the w4a8/w8a8 step (round-2
+    profile: ~145 ms of a ~452 ms FLUX step). ``orig`` keeps the float tensor
+    for non-act-quantized consumers and CPU fallback paths (XLA dead-code
+    eliminates whichever representation a consumer does not touch); fused
+    producer kernels (ops/fused_quant.py) that never materialise a float
+    output set ``orig=None`` and record ``out_dtype`` instead.
+
+    Lives only INSIDE jit traces (created and consumed within one model
+    function) — it never crosses a jit boundary or enters a parameter tree,
+    so the ``out_dtype`` entry being a non-array is safe.
+    """
+
+    x8: jnp.ndarray      # int8, same shape as orig
+    xscale: jnp.ndarray  # f32, orig.shape[:-1] + (1,)
+    orig: Optional[jnp.ndarray]
+    out_dtype: Any = None  # dtype consumers cast results to when orig is None
+
+    @property
+    def dtype(self):
+        return self.orig.dtype if self.orig is not None else self.out_dtype
+
+    @property
+    def shape(self):
+        return self.x8.shape
+
+    def to_float(self) -> jnp.ndarray:
+        """Float view for non-quantized consumers: the original tensor when
+        it exists, else the dequantized int8 values (the value every
+        quantized consumer sees anyway)."""
+        if self.orig is not None:
+            return self.orig
+        return (self.x8.astype(jnp.float32) * self.xscale).astype(self.out_dtype)
+
+
+def quantize_shared(x) -> "ActQuant":
+    """Quantize an activation once for reuse by several quantized linears.
+
+    Idempotent: passing an ActQuant through returns it unchanged, so nested
+    helpers (_qkv inside a block body) can call this unconditionally.
+    """
+    if isinstance(x, ActQuant):
+        return x
+    x8, xscale = quantize_activations(x)
+    return ActQuant(x8, xscale, x)
+
+
+def needs_act_quant(p) -> bool:
+    """True when a linear param dict quantizes its activations dynamically
+    (w8a8, or int4 carrying the w4a8 per-channel wscale)."""
+    return isinstance(p, dict) and (
+        "w8" in p or ("q4" in p and "wscale" in p)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +143,17 @@ def w8a8_from_quantized_host(p: Params) -> Params:
 def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row (per-token) symmetric int8 quantisation, fp32 statistics.
 
-    Returns (X8 int8, xscale f32 with a trailing singleton axis).
+    Returns (X8 int8, xscale f32 with a trailing singleton axis). On TPU the
+    absmax+round pair runs as one fused Pallas pass (ops/fused_quant.py —
+    one HBM read instead of two); the XLA form below is the reference math
+    and the CPU/fallback path.
     """
+    from .fused_quant import fused_eligible
+    from .fused_quant import quantize as fused_quantize
+
+    if fused_eligible(x.shape[-1]):
+        aq = fused_quantize(x)
+        return aq.x8, aq.xscale
     x32 = x.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8)
     xscale = amax / 127.0
@@ -92,14 +161,19 @@ def quantize_activations(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return x8, xscale
 
 
-def w8a8_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
+def w8a8_linear(p: Params, x, act: str = None) -> jnp.ndarray:
     """y = act(x @ w (+ bias)) with both operands quantised to int8.
 
     int32 accumulation on the MXU's int8 path; the combined
     ``xscale * wscale`` rescale, bias-add and optional GELU run in fp32 and
-    fuse into the dot's consumer.
+    fuse into the dot's consumer. ``x`` may be a pre-quantized ActQuant
+    (shared across sibling projections; see quantize_shared).
     """
-    x8, xscale = quantize_activations(x)
+    if isinstance(x, ActQuant):
+        x8, xscale, out_dtype = x.x8, x.xscale, x.dtype
+    else:
+        x8, xscale = quantize_activations(x)
+        out_dtype = x.dtype
     acc = jax.lax.dot_general(
         x8, p["w8"], (((x8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -109,7 +183,7 @@ def w8a8_linear(p: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
         y = y + p["bias"].astype(jnp.float32)
     if act == "gelu":
         y = jax.nn.gelu(y, approximate=False)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
 def is_w8a8(p: Params) -> bool:

@@ -169,3 +169,20 @@ def test_w4a8_linear_fused_gelu():
     want = np.asarray(jax.nn.gelu(jnp.asarray(base), approximate=False))
     got = np.asarray(w4a8_linear(p, x, bm=8, act="gelu", interpret=True), np.float32)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_w4a8_linear_accepts_shared_actquant():
+    """A pre-quantized ActQuant input (shared across sibling projections)
+    produces bit-identical output to the internal quantization path."""
+    from diffusionkit_tpu.ops.w8a8 import quantize_shared
+
+    rs = np.random.RandomState(5)
+    K, N = 256, 128
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(p))
+    x = jnp.asarray(rs.randn(2, 7, K).astype(np.float32))
+    base = np.asarray(w4a8_linear(p, x, bm=8, interpret=True))
+    got = np.asarray(w4a8_linear(p, quantize_shared(x), bm=8, interpret=True))
+    np.testing.assert_array_equal(got, base)

@@ -182,3 +182,17 @@ def test_t5_w8a8_parity():
     got = np.asarray(apply_t5_encoder(qp, tokens, config), np.float32)
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
+
+
+def test_w8a8_linear_accepts_shared_actquant():
+    """quantize_shared -> w8a8_linear is bit-identical to the internal
+    quantization path, and quantize_shared is idempotent."""
+    from diffusionkit_tpu.ops.w8a8 import quantize_shared, random_w8a8_linear, w8a8_linear
+
+    key = jax.random.PRNGKey(0)
+    p = random_w8a8_linear(key, 64, 32, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 64), jnp.float32)
+    base = np.asarray(w8a8_linear(p, x))
+    aq = quantize_shared(x)
+    assert quantize_shared(aq) is aq
+    np.testing.assert_array_equal(np.asarray(w8a8_linear(p, aq)), base)
