@@ -223,3 +223,140 @@ def test_flash_sdpa_under_mesh_matches_xla():
         )
     ).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(got_bshd, want, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_stats_matches_xla_chunk():
+    """flash_attention_stats (Pallas, interpret) emits the same (o, m, l)
+    the XLA chunk body computes, including partial and fully-masked vlen."""
+    from diffusionkit_tpu.ops.flash_attention import flash_attention_stats
+    from diffusionkit_tpu.parallel.ring_attention import _chunk_stats_xla
+
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(1, 2, 128, 64), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 2, 128, 64), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 2, 128, 64), jnp.float32)
+    scale = 64**-0.5
+    for vlen in (128, 70, 0):
+        o, m, l = flash_attention_stats(
+            q, k, v, scale, jnp.int32(vlen), interpret=True
+        )
+        ow, mw, lw = _chunk_stats_xla(q, k, v, jnp.int32(vlen), scale)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(lw), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ow), rtol=1e-4, atol=1e-5)
+        if vlen:  # fully-masked m is NEG_INF in both; comparing inf-inf is fine
+            np.testing.assert_allclose(np.asarray(m), np.asarray(mw), rtol=1e-5, atol=1e-6)
+        else:
+            assert float(np.asarray(l).max()) == 0.0
+            assert float(np.abs(np.asarray(o)).max()) == 0.0
+
+
+def test_ring_attention_flash_chunks_match_full(monkeypatch):
+    """The production ring path (Pallas flash per chunk, O(s_local*tile)
+    memory) == full SDPA, including a padded sequence."""
+    from diffusionkit_tpu.ops.attention import xla_sdpa
+    from diffusionkit_tpu.parallel.ring_attention import ring_attention
+
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_RING_FLASH", "1")
+    rs = np.random.RandomState(8)
+    scale = 64**-0.5
+    mesh = create_mesh(2, 4)
+    for s in (256, 250):
+        q = jnp.asarray(rs.randn(1, 2, s, 64), jnp.float32)
+        k = jnp.asarray(rs.randn(1, 2, s, 64), jnp.float32)
+        v = jnp.asarray(rs.randn(1, 2, s, 64), jnp.float32)
+        want = np.asarray(xla_sdpa(q, k, v, scale))
+        got = np.asarray(ring_attention(q, k, v, scale, mesh))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_collective_pattern_in_compiled_hlo():
+    """TP efficiency, not just correctness (VERDICT round 2, Weak #7): the
+    compiled SPMD module must contain the Megatron pattern — a bounded
+    number of activation-sized all-reduces (XLA combines the per-block
+    o/fc2 partial sums) and ZERO all-gathers (a sharding-rule regression
+    that replicates weights shows up as all-reduce count 0; one that
+    gathers weights shows up as all-gather > 0)."""
+    import re
+
+    config = TP_FLUX
+    params = init_mmdit_params(jax.random.PRNGKey(0), config)
+    mesh = create_mesh(2, 4)
+    sharded = shard_params(params, mmdit_shardings(params, mesh))
+    inputs = _mmdit_inputs(config)
+    comp = (
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))
+        .lower(sharded, *inputs)
+        .compile()
+    )
+    hlo = comp.as_text()
+
+    def count(op):
+        return len(re.findall(rf"%?{op}[.\d]* = ", hlo))
+
+    n_ar = count("all-reduce")
+    assert 1 <= n_ar <= 6, f"unexpected all-reduce count {n_ar}"
+    assert count("all-gather") == 0, "weights are being all-gathered"
+    assert count("all-to-all") == 0
+    # Every all-reduce result is activation-sized (batch-leading), never a
+    # weight gather materialised through an all-reduce trick.
+    weight_elems = config.hidden_size * config.hidden_size
+    for shapes in re.findall(r"%?all-reduce[.\d]* = \(?([^)\n]*)", hlo):
+        for dims in re.findall(r"f32\[([\d,]+)\]", shapes):
+            n = int(np.prod([int(d) for d in dims.split(",")]))
+            assert n < weight_elems, f"weight-sized all-reduce: {dims}"
+
+
+def test_tp_sharding_specs_follow_megatron_rules():
+    """Direct spec assertions: fan-out kernels column-sharded, fan-in
+    kernels row-sharded, for float AND quantized leaf schemas."""
+    from diffusionkit_tpu.ops.quantized import quantize_tree
+    from diffusionkit_tpu.ops.w8a8 import w8a8_tree
+
+    config = TP_FLUX
+    mesh = create_mesh(2, 4)
+    params = init_mmdit_params(jax.random.PRNGKey(1), config)
+
+    def leaf_spec(tree, path_keys):
+        sh = mmdit_shardings(tree, mesh)
+        node = sh
+        for k in path_keys:
+            node = node[k]
+        return node.spec
+
+    # Float kernels (stacked (L, in, out)): column -> last axis, row -> -2.
+    assert leaf_spec(params, ["uni_blocks", "q", "kernel"]) == P(None, None, "model")
+    assert leaf_spec(params, ["uni_blocks", "fc1", "kernel"]) == P(None, None, "model")
+    assert leaf_spec(params, ["uni_blocks", "o", "kernel"]) == P(None, "model", None)
+    assert leaf_spec(params, ["uni_blocks", "fc2", "kernel"]) == P(None, "model", None)
+    assert leaf_spec(params, ["uni_blocks", "ada", "kernel"]) == P()
+
+    qparams = quantize_tree(
+        jax.tree.map(np.asarray, params), bits=4, group_size=16, min_size=1
+    )
+    assert leaf_spec(qparams, ["uni_blocks", "q", "q4"]) == P(None, None, "model")
+    assert leaf_spec(qparams, ["uni_blocks", "q", "scales"]) == P(None, None, "model")
+    assert leaf_spec(qparams, ["uni_blocks", "o", "q4"]) == P(None, "model", None)
+
+    wparams = w8a8_tree(jax.tree.map(np.asarray, params), min_size=1)
+    assert leaf_spec(wparams, ["uni_blocks", "q", "w8"]) == P(None, None, "model")
+    assert leaf_spec(wparams, ["uni_blocks", "q", "wscale"]) == P(None, "model")
+    assert leaf_spec(wparams, ["uni_blocks", "fc2", "w8"]) == P(None, "model", None)
+
+
+def test_sd35_odd_local_heads_dispatches_bshd_flash():
+    """38 heads / tp=2 = 19 local heads must stay on the bshd flash path
+    (zero-padded in-kernel) and match the XLA oracle under the mesh."""
+    from diffusionkit_tpu.ops.attention import sdpa, xla_sdpa
+
+    mesh = create_mesh(2, 2, devices=jax.devices()[:4])
+    rs = np.random.RandomState(12)
+    b, s, h, d = 2, 256, 38, 64
+    q = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, s, h, d), jnp.float32)
+    scale = d**-0.5
+    want = np.asarray(xla_sdpa(q, k, v, scale, layout="bshd"))
+    got = np.asarray(
+        sdpa(q, k, v, scale, impl="flash", mesh=mesh, layout="bshd")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
