@@ -12,17 +12,28 @@ POST /generate  {"prompt": str, "steps": int, "cfg": float, "seed": int?,
                  "negative_prompt": str?, "height": int?, "width": int?,
                  "num_images": int?, "guidance": float?}
   -> image/png (single) or JSON with base64 images (num_images > 1)
+  -> 503 when the bounded queue is full or the server is draining;
+     504 when a request exceeds the per-request timeout
 POST /warmup    {"steps", "cfg", "height", "width", "batch"}
   -> pre-compiles the buckets up to "batch" (default max_batch)
 GET /healthz -> {"status": "ok", ...device info}
+GET /metrics -> {"queue_depth", "served", "errors", "timeouts", "rejected",
+                 "latency_p50_s", "latency_p95_s", "batches",
+                 "batch_occupancy", "draining"}
+
+Production guards (round-3 hardening): bounded queue with load-shedding,
+per-request timeout, graceful drain on SIGTERM/SIGINT (stop accepting, let
+in-flight batches finish), and a latency/occupancy metrics endpoint.
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import queue
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -33,6 +44,10 @@ from .utils import get_logger, inference_context
 logger = get_logger(__name__)
 
 
+class Overloaded(RuntimeError):
+    """Queue full or server draining — clients should back off (HTTP 503)."""
+
+
 def _bucket(n: int, max_batch: int) -> int:
     b = 1
     while b < n and b < max_batch:
@@ -41,7 +56,7 @@ def _bucket(n: int, max_batch: int) -> int:
 
 
 class _Job:
-    __slots__ = ("req", "event", "images", "error", "t_enqueue")
+    __slots__ = ("req", "event", "images", "error", "t_enqueue", "abandoned")
 
     def __init__(self, req):
         self.req = req
@@ -49,6 +64,9 @@ class _Job:
         self.images = None
         self.error = None
         self.t_enqueue = time.perf_counter()
+        # Set by the handler thread when its client timed out: the worker
+        # drops the job instead of spending chip time on an absent client.
+        self.abandoned = False
 
 
 class GenerationServer:
@@ -62,17 +80,30 @@ class GenerationServer:
         default_cfg: float = 0.0,
         max_batch: int = 8,
         batch_window_s: float = 0.05,
+        max_queue: int = 64,
+        request_timeout_s: float = 600.0,
     ):
         self.pipeline = pipeline
         self.default_steps = default_steps
         self.default_cfg = default_cfg
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
-        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        self.request_timeout_s = request_timeout_s
+        # Bounded: a wedged chip must surface as fast 503s, not an unbounded
+        # queue of clients waiting forever.
+        self.queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
+        self._draining = False
         # Serialises every pipeline call: the worker holds it per batch and
         # /warmup (which runs on a handler thread) takes it per bucket, so
         # warmup can never race an in-flight batch on the chip.
         self._pipeline_lock = threading.Lock()
+        self._metrics_lock = threading.Lock()
+        self._latencies = collections.deque(maxlen=512)  # seconds
+        self._occupancy = collections.deque(maxlen=512)  # jobs / bucket
+        self._counters = {
+            "served": 0, "errors": 0, "timeouts": 0, "rejected": 0,
+            "batches": 0,
+        }
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -99,12 +130,61 @@ class GenerationServer:
             raise ValueError("height/width must be divisible by 16")
         if not isinstance(req.get("prompt"), str):
             raise ValueError("prompt must be a string")
+        if self._draining:
+            self._count("rejected")
+            raise Overloaded("server is draining")
         job = _Job(req)
-        self.queue.put(job)
-        job.event.wait()
+        try:
+            self.queue.put_nowait(job)
+        except queue.Full:
+            self._count("rejected")
+            raise Overloaded(
+                f"queue full ({self.queue.maxsize} requests pending)"
+            ) from None
+        if not job.event.wait(self.request_timeout_s):
+            # A wedged batch must not hang the client forever; mark the job
+            # so the worker drops it if it has not started yet.
+            job.abandoned = True
+            self._count("timeouts")
+            raise TimeoutError(
+                f"generation timed out after {self.request_timeout_s:.0f}s"
+            )
         if job.error is not None:
+            self._count("errors")
             raise job.error
+        self._record_latency(time.perf_counter() - job.t_enqueue)
         return job.images
+
+    # -- metrics ---------------------------------------------------------------
+
+    def _count(self, key: str, n: int = 1):
+        with self._metrics_lock:
+            self._counters[key] += n
+
+    def _record_latency(self, dt: float):
+        with self._metrics_lock:
+            self._counters["served"] += 1
+            self._latencies.append(dt)
+
+    def metrics(self) -> dict:
+        with self._metrics_lock:
+            lats = sorted(self._latencies)
+            occ = list(self._occupancy)
+            counters = dict(self._counters)
+
+        def pct(p):
+            if not lats:
+                return None
+            return lats[min(len(lats) - 1, int(p * len(lats)))]
+
+        return {
+            **counters,
+            "queue_depth": self.queue.qsize(),
+            "latency_p50_s": pct(0.50),
+            "latency_p95_s": pct(0.95),
+            "batch_occupancy": (sum(occ) / len(occ)) if occ else None,
+            "draining": self._draining,
+        }
 
     # -- batching worker -------------------------------------------------------
 
@@ -135,6 +215,9 @@ class GenerationServer:
                 (batch if same else deferred).append(job)
             for job in deferred:  # different bucket: next round
                 self.queue.put(job)
+            batch = [j for j in batch if not j.abandoned]
+            if not batch:
+                continue
             try:
                 self._run_batch(key, batch)
             except Exception as e:
@@ -143,9 +226,14 @@ class GenerationServer:
                     batch[0].event.set()
                     continue
                 # One bad request must not fail its batch neighbours:
-                # retry each job alone so only the offender errors.
+                # retry each job alone so only the offender errors. Jobs whose
+                # events are already set were delivered incrementally by the
+                # multi-image/img2img path before the failure — re-running
+                # them would waste chip time and clobber a satisfied job.
                 logger.exception("batch generation failed; retrying per job")
                 for job in batch:
+                    if job.event.is_set():
+                        continue
                     try:
                         self._run_batch(key, [job])
                     except Exception as je:
@@ -189,6 +277,9 @@ class GenerationServer:
         dt = time.perf_counter() - t0
         logger.info("batch of %d (bucket %d) in %.2fs (%.1f img/min)",
                     n, bucket, dt, 60.0 * n / dt)
+        with self._metrics_lock:
+            self._counters["batches"] += 1
+            self._occupancy.append(n / bucket)
         for job, image in zip(batch, images):
             job.images = [image]
             job.event.set()
@@ -211,6 +302,35 @@ class GenerationServer:
         return {"compiled_buckets": compiled, "steps": steps, "cfg": cfg,
                 "height": height, "width": width}
 
+    # -- graceful drain --------------------------------------------------------
+
+    def drain(self, deadline_s: float = 120.0) -> dict:
+        """Stop accepting new requests and wait for queued + in-flight work.
+
+        New /generate calls 503 immediately; queued jobs finish normally.
+        Returns a status dict (drained: whether the queue emptied and the
+        chip went idle before the deadline).
+        """
+        self._draining = True
+        t0 = time.perf_counter()
+        drained = False
+        while time.perf_counter() - t0 < deadline_s:
+            if self.queue.qsize() == 0 and self._pipeline_lock.acquire(timeout=0.05):
+                # Lock acquired with an empty queue: no batch is running.
+                # The worker may still be inside its batch window holding
+                # jobs it already popped — their events decide; one more
+                # empty-queue check after the window closes.
+                self._pipeline_lock.release()
+                time.sleep(self.batch_window_s * 2)
+                if self.queue.qsize() == 0:
+                    drained = True
+                    break
+            time.sleep(0.05)
+        logger.info("drain %s after %.1fs",
+                    "complete" if drained else "DEADLINE EXCEEDED",
+                    time.perf_counter() - t0)
+        return {"drained": drained, "waited_s": time.perf_counter() - t0}
+
     # -- HTTP plumbing ---------------------------------------------------------
 
     def handler_class(self):
@@ -231,6 +351,8 @@ class GenerationServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._json(200, {"status": "ok", **inference_context()})
+                elif self.path == "/metrics":
+                    self._json(200, server.metrics())
                 else:
                     self._json(404, {"error": "not found"})
 
@@ -251,6 +373,18 @@ class GenerationServer:
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
+                except Overloaded as e:
+                    self.send_response_only(503)
+                    self.send_header("Retry-After", "5")
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                except TimeoutError as e:
+                    self._json(504, {"error": str(e)})
+                    return
                 except Exception as e:  # pragma: no cover
                     logger.exception("generation failed")
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -270,8 +404,25 @@ class GenerationServer:
 
     def serve_forever(self, host: str = "0.0.0.0", port: int = 8000):
         httpd = ThreadingHTTPServer((host, port), self.handler_class())
+
+        def _graceful(signum, frame):
+            logger.info("signal %d: draining", signum)
+            # Drain + shutdown off the signal handler (serve_forever holds
+            # this thread); httpd.shutdown() must come from another thread.
+            def stop():
+                self.drain()
+                httpd.shutdown()
+
+            threading.Thread(target=stop, daemon=True).start()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _graceful)
+            except ValueError:  # pragma: no cover - non-main thread
+                pass
         logger.info("Serving on %s:%d (max_batch=%d)", host, port, self.max_batch)
         httpd.serve_forever()
+        logger.info("server stopped")
 
 
 def _png_bytes(image) -> bytes:

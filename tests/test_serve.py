@@ -4,6 +4,8 @@ import base64
 import io
 import json
 import threading
+import time
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -133,3 +135,122 @@ def test_non_string_prompt_rejected(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url, {"prompt": {"bad": 1}, "height": 64, "width": 64})
     assert e.value.code == 400
+
+
+# -- round-3 production guards (stub pipeline: no model, controllable delay) --
+
+
+class _StubPipeline:
+    def __init__(self, delay_s=0.0):
+        self.delay_s = delay_s
+        self.calls = 0
+
+    def generate_images_batched(self, prompts, **kw):
+        import time as _t
+
+        from PIL import Image
+
+        self.calls += 1
+        _t.sleep(self.delay_s)
+        return [Image.new("RGB", (8, 8)) for _ in prompts]
+
+    def generate_image(self, prompt, **kw):
+        from PIL import Image
+
+        return Image.new("RGB", (8, 8)), {}
+
+
+def _serve(srv):
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.handler_class())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def test_request_timeout_504():
+    srv = GenerationServer(
+        _StubPipeline(delay_s=2.0), max_batch=1, request_timeout_s=0.2,
+    )
+    httpd, url = _serve(srv)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, {"prompt": "slow"})
+        assert e.value.code == 504
+        assert srv.metrics()["timeouts"] == 1
+    finally:
+        httpd.shutdown()
+
+
+def test_overload_503_and_retry_after():
+    srv = GenerationServer(
+        _StubPipeline(delay_s=1.0), max_batch=1, max_queue=1,
+        batch_window_s=0.0,
+    )
+    httpd, url = _serve(srv)
+    try:
+        results = []
+
+        def fire():
+            try:
+                with _post(url, {"prompt": "x"}) as r:
+                    results.append(r.status)
+            except urllib.error.HTTPError as e:
+                results.append(e.code)
+
+        # First request occupies the worker; the next fills the queue; the
+        # burst beyond that must shed with 503.
+        threads = [threading.Thread(target=fire) for _ in range(6)]
+        for t in threads:
+            t.start()
+            time.sleep(0.05)
+        for t in threads:
+            t.join(timeout=30)
+        assert 503 in results, results
+        assert 200 in results, results
+        assert srv.metrics()["rejected"] >= 1
+    finally:
+        httpd.shutdown()
+
+
+def test_metrics_endpoint():
+    srv = GenerationServer(_StubPipeline(), max_batch=2, batch_window_s=0.0)
+    httpd, url = _serve(srv)
+    try:
+        with _post(url, {"prompt": "a"}) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["served"] == 1 and m["batches"] == 1
+        assert m["latency_p50_s"] is not None and m["latency_p50_s"] >= 0
+        assert m["queue_depth"] == 0 and m["draining"] is False
+        assert 0 < m["batch_occupancy"] <= 1
+    finally:
+        httpd.shutdown()
+
+
+def test_graceful_drain():
+    pipe = _StubPipeline(delay_s=0.3)
+    srv = GenerationServer(pipe, max_batch=1, batch_window_s=0.0)
+    httpd, url = _serve(srv)
+    try:
+        codes = []
+
+        def fire():
+            try:
+                with _post(url, {"prompt": "x"}) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        t1 = threading.Thread(target=fire)
+        t1.start()
+        time.sleep(0.1)  # in flight
+        status = srv.drain(deadline_s=10.0)
+        assert status["drained"] is True
+        t1.join(timeout=10)
+        assert codes == [200]  # in-flight request completed during drain
+        # New work is shed while draining.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, {"prompt": "late"})
+        assert e.value.code == 503
+    finally:
+        httpd.shutdown()
