@@ -108,8 +108,15 @@ class CLIPTokenizer:
         return parts
 
     def tokenize(
-        self, text: str, prepend_bos: bool = True, append_eos: bool = True
-    ) -> List[int]:
+        self,
+        text: Union[str, List[str]],
+        prepend_bos: bool = True,
+        append_eos: bool = True,
+    ) -> List:
+        """Tokenize one string -> List[int], or a list of strings -> a list
+        of per-string token lists (reference tokenizer.py:91-93)."""
+        if isinstance(text, list):
+            return [self.tokenize(t, prepend_bos, append_eos) for t in text]
         clean = regex.sub(r"\s+", " ", text.lower())
         words = regex.findall(_CLIP_PATTERN, clean)
         pieces = [p for w in words for p in self.bpe(w)]

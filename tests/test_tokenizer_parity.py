@@ -83,3 +83,56 @@ def test_truncation_matches_transformers(vocab_files):
     want = hf(text, truncation=True, max_length=10)["input_ids"]
     got = ours.tokenize(text)
     assert got == want
+
+
+def test_list_input_matches_per_string(vocab_files):
+    """Reference API parity: tokenize() accepts a list of strings and returns
+    per-string token lists (reference tokenizer.py:91-93)."""
+    vocab_path, merges_path = vocab_files
+    ours = CLIPTokenizer.from_files(vocab_path, merges_path)
+    texts = ["the cat", "a dog in the.", ""]
+    got = ours.tokenize(texts)
+    assert got == [ours.tokenize(t) for t in texts]
+    # Flag plumbing applies per element.
+    got_nb = ours.tokenize(texts, prepend_bos=False, append_eos=False)
+    assert got_nb == [ours.tokenize(t, False, False) for t in texts]
+
+
+def test_fuzz_matches_transformers(vocab_files):
+    """Property-style fuzz vs HF CLIPTokenizer over the synthetic vocab's
+    alphabet: random words, repeated/mixed whitespace (incl. tabs/newlines),
+    punctuation runs, long words, and case folding."""
+    import random
+
+    from transformers import CLIPTokenizer as HFCLIPTokenizer
+
+    vocab_path, merges_path = vocab_files
+    hf = HFCLIPTokenizer(
+        vocab_path, merges_path, bos_token=BOS, eos_token=EOS,
+        unk_token=EOS, pad_token=EOS,
+    )
+    ours = CLIPTokenizer.from_files(vocab_path, merges_path)
+    rng = random.Random(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    punct = ".,!"
+    ws = [" ", "  ", "\t", "\n", " \t "]
+    for _ in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.random()
+            if kind < 0.6:
+                w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+                if rng.random() < 0.3:
+                    w = w.upper()
+            elif kind < 0.8:
+                w = "".join(rng.choice(punct) for _ in range(rng.randint(1, 4)))
+            else:
+                w = rng.choice("0123456789")
+            parts.append(w)
+            parts.append(rng.choice(ws))
+        text = "".join(parts).strip()
+        if not text:
+            continue
+        want = hf(text)["input_ids"]
+        got = ours.tokenize(text)
+        assert got == want, (repr(text), got, want)
