@@ -132,7 +132,10 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     Among q blocks under the budget, prefer the largest that DIVIDES the
     padded sequence — at FLUX 1024² (s=4352) q_blk=512 pads the q grid to
     4608 (+5.9% wasted rows) while 256 tiles it exactly.
-    Falls back to streaming 512/1024 tiles for very long sequences.
+    Falls back to streaming 1024/1024 tiles for very long sequences —
+    the v5e sweep winner at the FLUX 2048² joint shape (s=16640, d=128:
+    36.1 ms/layer, 94 TFLOP/s vs 41.1 at the previous untuned 512/1024;
+    q256/kv2048 and q512/kv2048 tie within 3%, tools/sweep_flash_long.py).
     """
     import os
 
@@ -154,7 +157,7 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
             if s128 % q_blk == 0:
                 return q_blk, s128
         return cap, s128
-    return 512, 1024
+    return 1024, 1024
 
 
 def _flash_kernel_bshd(

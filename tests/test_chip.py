@@ -37,8 +37,10 @@ def test_v5e_budgets_unchanged(monkeypatch):
     assert kv == 1280 and q * kv <= 2_250_000 and 1280 % q == 0
     q, kv = pick_flash_blocks(4352, 128)
     assert kv == 4352 and 4352 % q == 0
-    # Long sequences fall back to streaming tiles on v5e.
-    assert pick_flash_blocks(16640, 128) == (512, 1024)
+    # Long sequences fall back to the swept streaming tiles on v5e
+    # (tools/sweep_flash_long.py at the FLUX 2048² joint shape: 1024/1024 =
+    # 36.1 ms/layer vs 41.1 at the untuned 512/1024).
+    assert pick_flash_blocks(16640, 128) == (1024, 1024)
     assert pick_m_block(4352, 1024, 512) == 1088
 
 

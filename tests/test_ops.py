@@ -217,7 +217,8 @@ def test_pick_flash_blocks():
     # exact tiling measured faster on chip, tools/sweep_flash_blocks.py).
     assert pick_flash_blocks(4352, 128) == (256, 4352)
     q, kv = pick_flash_blocks(33000, 128)                # beyond budget
-    assert (q, kv) == (512, 1024)
+    # Swept streaming tiles (tools/sweep_flash_long.py, FLUX 2048² shape).
+    assert (q, kv) == (1024, 1024)
     q, kv = pick_flash_blocks(300, 64)
     assert kv == 384 and q == 384 and q % 128 == 0
 

@@ -54,13 +54,14 @@ def main():
         @jax.jit
         def run(x):
             y, _ = jax.lax.scan(body, x, None, length=iters)
-            return y
+            # Reduce ON DEVICE: transferring the full (B,S,H,D) output
+            # through the axon relay (~100 MB/s) would drown the kernel
+            # time (a 2048^2 bf16 q is ~400 MB ~= 4 s of transfer).
+            return jnp.sum(y, dtype=jnp.float32)
 
-        y = run(q)
-        _ = np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
+        _ = float(run(q))
         t0 = time.perf_counter()
-        y = run(q)
-        _ = np.asarray(jax.tree.leaves(y)[0]).ravel()[:1]
+        _ = float(run(q))
         return (time.perf_counter() - t0) / iters
 
     print(f"layout={layout} S={S} D={D} H={H}", flush=True)
