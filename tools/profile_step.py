@@ -132,10 +132,57 @@ def aggregate(table):
     return by_cat, top_ops[:25], cols
 
 
+def dump_fusion_bodies(top_ops, out_txt):
+    """Write the optimized-HLO computation bodies for the profile's top
+    non-custom-call ops, so 'fusion.104' becomes attributable to actual
+    model math (modulate chain, residual cast, quantize, ...).
+
+    Reads the after-optimizations HLO text that XLA dumped during THIS
+    process's compile (main() sets --xla_dump_to; re-lowering here would
+    capture the 7.5 GB param tree as module constants)."""
+    import re
+
+    dumps = sorted(
+        glob.glob("/tmp/xla_dump_profile/*after_optimizations*.txt"),
+        key=os.path.getsize,
+    )
+    if not dumps:
+        with open(out_txt, "w") as f:
+            f.write("no xla dump found\n")
+        return
+    hlo = open(dumps[-1]).read()  # largest = the step module
+    names = [
+        o["op"].split(" ")[0] for o in top_ops
+        if o["cat"] not in ("custom-call",)
+    ][:14]
+    with open(out_txt, "w") as f:
+        for name in names:
+            # The instruction line (inside some computation) names its fused
+            # computation; grab both.
+            m = re.search(rf"%?{re.escape(name)} = .*", hlo)
+            if not m:
+                f.write(f"== {name}: NOT FOUND\n\n")
+                continue
+            line = m.group(0)
+            f.write(f"== {name}\n{line[:400]}\n")
+            cm = re.search(r"calls=([%\w.\-]+)", line)
+            if cm:
+                body = re.search(
+                    rf"(%?{re.escape(cm.group(1).lstrip('%'))} .*?\n)(.*?)\n\}}",
+                    hlo, re.S,
+                )
+                if body:
+                    f.write(body.group(2)[:4000] + "\n")
+            f.write("\n")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "sd3"
     out_path = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/profile_{mode}.json"
     logdir = f"/tmp/jaxprof_{mode}"
+    # For the fusion-body dump, the CALLER must set (before python starts —
+    # the axon hook initialises the backend at interpreter startup):
+    #   XLA_FLAGS="--xla_dump_to=/tmp/xla_dump_profile --xla_dump_hlo_pass_re=^$"
     step, x0 = build_step(mode)
 
     # compile + settle
@@ -163,6 +210,10 @@ def main():
     }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
+    try:
+        dump_fusion_bodies(top, out_path.replace(".json", "_fusions.txt"))
+    except Exception as e:  # best-effort diagnostic
+        print("fusion dump failed:", e)
     print(json.dumps({k: report[k] for k in
                       ("mode", "wall_ms_per_step", "device_total_ms_per_step",
                        "by_category_ms_per_step")}, indent=1))

@@ -51,11 +51,42 @@ def run(mode, steps, latent_hw):
     return np.asarray(img, np.float32), time.time() - t0
 
 
+def run_flux_t5(quantize_t5, steps, latent_hw):
+    """FLUX-schnell w4a8 with bf16 vs w8a8 T5 — isolates the quantize_t5
+    quality impact (the outlier-channel risk noted in pipeline.py). bf16 T5
+    runs in low-memory mode (encode, then free) so both fit the 16 GB chip."""
+    from diffusionkit_tpu.pipeline import FluxPipeline
+
+    t0 = time.time()
+    pipe = FluxPipeline(
+        model_version="argmaxinc/mlx-FLUX.1-schnell",
+        shift=1.0,
+        low_memory_mode=True,
+        quantize_mmdit="w4a8",
+        quantize_t5=quantize_t5,
+    )
+    img, _ = pipe.generate_image(
+        PROMPT,
+        num_steps=4,
+        cfg_weight=0.0,
+        latent_size=latent_hw,
+        seed=42,
+        verbose=False,
+    )
+    del pipe
+    import numpy as np
+
+    return np.asarray(img, np.float32), time.time() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="quant_quality.json")
+    ap.add_argument("--t5", action="store_true",
+                    help="measure quantize_t5 (w8a8 T5) on FLUX-schnell "
+                    "instead of the MMDiT mode table")
     args = ap.parse_args()
 
     assert os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR"), (
@@ -64,6 +95,22 @@ def main():
     from diffusionkit_tpu.utils import image_psnr
 
     latent_hw = (args.size // 8, args.size // 8)
+    if args.t5:
+        base, dt_base = run_flux_t5(False, args.steps, latent_hw)
+        quant, dt_quant = run_flux_t5(True, args.steps, latent_hw)
+        psnr = float(image_psnr(base, quant))
+        out = {
+            "model": "argmaxinc/mlx-FLUX.1-schnell (w4a8 MMDiT)",
+            "size": args.size, "prompt": PROMPT,
+            "t5_w8a8_psnr_vs_bf16_t5_db": round(psnr, 2),
+            "wall_s": {"bf16_t5": round(dt_base, 1),
+                       "w8a8_t5": round(dt_quant, 1)},
+        }
+        print(json.dumps(out), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", args.out, flush=True)
+        return
     results = {}
     base = None
     for mode in MODES:
