@@ -379,6 +379,57 @@ def _qkv_split(sd, key, dtype, use_qk_norm, qk_prefix=None) -> Params:
     return p
 
 
+def _permute_qk_for_rope(params: Params, config: MMDiTConfig) -> Params:
+    """Fold the rotate-half RoPE layout change into the q/k projections.
+
+    Attention scores are invariant under a shared permutation of q and k
+    head columns, so the interleaved->halves reorder the TPU rope form
+    needs (ops/rope.rope_head_permutation) is applied ONCE here to every
+    rope-consuming projection's output columns — float kernels, packed-int4
+    exec leaves (nibbles pack along the INPUT axis, so output-column gathers
+    are exact), their per-output-channel scales/zeros, the q bias, and the
+    per-dim QK-RMSNorm scales. Zero runtime cost; v/o and the attention
+    math itself are bit-unaffected up to float reassociation.
+    """
+    from .ops.rope import rope_head_permutation
+
+    d = config.hidden_size // config.num_heads
+    perm = rope_head_permutation(d)
+    col_perm = (
+        np.arange(config.num_heads)[:, None] * d + perm[None, :]
+    ).reshape(-1)
+
+    def permute_lin(p: Params) -> Params:
+        out = dict(p)
+        for key in ("kernel", "q4", "scales", "zeros"):
+            if p.get(key) is not None:
+                out[key] = p[key][..., col_perm]
+        if p.get("bias") is not None:
+            out["bias"] = p["bias"][..., col_perm]
+        return out
+
+    def permute_block(bp: Params) -> Params:
+        bp = dict(bp)
+        bp["q"] = permute_lin(bp["q"])
+        bp["k"] = permute_lin(bp["k"])
+        if "qk_norm" in bp:
+            bp["qk_norm"] = {
+                "q_scale": bp["qk_norm"]["q_scale"][..., perm],
+                "k_scale": bp["qk_norm"]["k_scale"][..., perm],
+            }
+        return bp
+
+    params = dict(params)
+    if "mm_blocks" in params:
+        params["mm_blocks"] = {
+            side: permute_block(params["mm_blocks"][side])
+            for side in params["mm_blocks"]
+        }
+    if "uni_blocks" in params:
+        params["uni_blocks"] = permute_block(params["uni_blocks"])
+    return params
+
+
 def _fold_patch_conv(w: np.ndarray, dtype) -> jnp.ndarray:
     """OIHW (H, C, p, p) conv -> (C*p*p, H) matmul kernel, (c, ph, pw) order."""
     out_dim = w.shape[0]
@@ -530,7 +581,11 @@ def mmdit_params_from_flux_ckpt(
         "ada": _lin(sd, "final_layer.adaLN_modulation.1", dtype),
         "linear": _lin(sd, "final_layer.linear", dtype),
     }
-    return params
+    # Checkpoint rope convention (interleaved pairs) -> the TPU rotate-half
+    # layout (ops/rope.py). Folded into q/k columns at map time so the hot
+    # path never reshuffles. NOTE: save_params caches written before this
+    # change carry the old layout; regenerate them.
+    return _permute_qk_for_rope(params, config)
 
 
 def mmdit_params_from_mlx_ckpt(
@@ -635,6 +690,13 @@ def mmdit_params_from_mlx_ckpt(
         "ada": _mlx_lin(sd, "final_layer.adaLN_modulation.layers.1", dtype),
         "linear": _mlx_lin(sd, "final_layer.linear", dtype),
     }
+    from .config import PositionalEncoding
+
+    if config.pos_embed_type == PositionalEncoding.PreSDPARope:
+        # FLUX-style trees only; SD3.5 (learned pos embed, no rope) keeps
+        # its columns. Exact on packed-int4 leaves (nibbles pack along the
+        # input axis).
+        params = _permute_qk_for_rope(params, config)
     return params
 
 

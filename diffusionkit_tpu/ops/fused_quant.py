@@ -106,7 +106,12 @@ def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
 
 
 def _pick_rows(n_feat: int, n_rows: int, bytes_per_elem: int = 8) -> int:
-    """Row-block size: multiple of 32 (int8 sublane tile), VMEM-bounded."""
+    """Row-block size: multiple of 32 (int8 sublane tile), VMEM-bounded.
+
+    DIFFUSIONKIT_TPU_FUSED_ROWS overrides for on-chip sweeps."""
+    env = os.environ.get("DIFFUSIONKIT_TPU_FUSED_ROWS")
+    if env:
+        return max(32, int(env) // 32 * 32)
     bm = _vmem_budget() // (n_feat * bytes_per_elem)
     bm = max(32, min(512, bm // 32 * 32))
     return min(bm, max(32, -(-n_rows // 32) * 32))

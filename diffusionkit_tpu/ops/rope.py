@@ -3,8 +3,20 @@
 TPU-native re-design of the reference RoPE (reference mmdit.py:852-942): the
 reference materialises a (S, d/2, 2, 2) rotation tensor and contracts it
 against q/k; here we build fp32 cos/sin tables once per (resolution, text_len)
-— hashable statics under jit — and apply the rotation as two fused
-multiply-adds on de-interleaved pairs, which XLA lowers to pure VPU work.
+— hashable statics under jit — and apply the rotation in ROTATE-HALF form
+over contiguous half-head lane segments.
+
+Why rotate-half and not the checkpoint's interleaved (even, odd) pairs: on
+TPU the interleaved form forces a (B, S, H, D/2, 2) view whose minor dim of
+2 gets a pathological T(2,128) tiling — the round-2 profile showed ~35 ms
+per FLUX step of pad/maximum concats, physical reshapes and f32/bf16
+convert churn in exactly these chains. Attention scores are invariant
+under any fixed permutation applied to BOTH q and k head columns, so the
+loader permutes the q/k projection output columns once
+(``rope_head_permutation``; model_io._permute_qk_for_rope) and the rotation
+becomes two fused multiply-adds on 64-lane-aligned halves — pure VPU work
+in the layout the tensors already have. v, o and every downstream consumer
+are untouched.
 
 Position layout (reference mmdit.py:865-890): text tokens first with all-zero
 (id, y, x) positions, then image tokens in row-major (y, x) order. Axis dims
@@ -53,21 +65,40 @@ def rope_frequencies(
     return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
 
 
+def rope_head_permutation(head_dim: int) -> np.ndarray:
+    """Half-layout -> interleaved-source index map.
+
+    ``new[j] = 2j`` for the first half, ``new[D/2 + j] = 2j + 1`` for the
+    second: half-layout position j holds the checkpoint's pair-j even
+    element, position D/2+j its odd partner. Applied once per head to the
+    q/k projection OUTPUT columns at load time (q'·k' == q·k under any
+    shared column permutation), plus the per-dim QK-RMSNorm scales.
+    Pair ordering across the concatenated rope axes is preserved: table
+    column j of rope_frequencies corresponds to source dims (2j, 2j+1)
+    regardless of which axis the pair belongs to.
+    """
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
 def apply_rope(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:
     """Rotate q or k of shape (..., S, head_dim) in fp32, cast back.
 
-    Pairs are consecutive (even, odd) head-dim elements, matching the
-    reference's reshape(..., -1, 1, 2) contraction (reference mmdit.py:934-942):
-    out_even = cos*x_even - sin*x_odd; out_odd = sin*x_even + cos*x_odd.
+    ``x`` is in the HALF layout (loader-permuted, see rope_head_permutation):
+    x1 = pair evens in the first D/2 lanes, x2 = pair odds in the second.
+    out = [cos*x1 - sin*x2 | sin*x1 + cos*x2] — the same rotation the
+    reference's interleaved reshape(..., -1, 1, 2) contraction computes
+    (reference mmdit.py:934-942), on lane-aligned contiguous halves.
     """
     in_dtype = x.dtype
     x32 = x.astype(jnp.float32)
-    shape = x32.shape
-    x32 = x32.reshape(*shape[:-1], shape[-1] // 2, 2)
-    x_even, x_odd = x32[..., 0], x32[..., 1]
-    out_even = cos * x_even - sin * x_odd
-    out_odd = sin * x_even + cos * x_odd
-    out = jnp.stack([out_even, out_odd], axis=-1).reshape(shape)
+    half = x32.shape[-1] // 2
+    x1 = x32[..., :half]
+    x2 = x32[..., half:]
+    out = jnp.concatenate(
+        [cos * x1 - sin * x2, sin * x1 + cos * x2], axis=-1
+    )
     return out.astype(in_dtype)

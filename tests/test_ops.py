@@ -143,22 +143,57 @@ def _ref_rope_rotate(x, positions, axes_dim, theta=10000):
 
 
 def test_rope_matches_reference_math():
+    """apply_rope in the loader-permuted HALF layout must equal the
+    reference's interleaved rotation viewed through the same permutation
+    (ops/rope.rope_head_permutation — the reorder model_io folds into the
+    q/k projection columns)."""
+    from diffusionkit_tpu.ops.rope import rope_head_permutation
+
     rs = np.random.RandomState(7)
     h, w, txt_len = 3, 4, 2
     axes_dim = (4, 6, 6)
     head_dim = sum(axes_dim)
     s = txt_len + h * w
     x = rs.randn(1, 2, s, head_dim).astype(np.float32)
+    perm = rope_head_permutation(head_dim)
 
     cos, sin = rope_frequencies((h, w), txt_len, axes_dim)
-    got = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+    got = np.asarray(apply_rope(jnp.asarray(x[..., perm]), cos, sin))
 
     positions = np.zeros((s, 3), np.float64)
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     positions[txt_len:, 1] = yy.ravel()
     positions[txt_len:, 2] = xx.ravel()
-    want = _ref_rope_rotate(x, positions, axes_dim)
+    want = _ref_rope_rotate(x, positions, axes_dim)[..., perm]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_rope_permutation_preserves_attention_scores():
+    """q'·k' == q·k when the same column permutation is applied to both —
+    the invariance _permute_qk_for_rope relies on — and the permuted
+    half-form rotation gives the same scores as interleaved rotation."""
+    from diffusionkit_tpu.ops.rope import rope_head_permutation
+
+    rs = np.random.RandomState(13)
+    h, w, txt_len, axes_dim = 2, 2, 3, (4, 6, 6)
+    d = sum(axes_dim)
+    s = txt_len + h * w
+    q = rs.randn(1, 1, s, d).astype(np.float64)
+    k = rs.randn(1, 1, s, d).astype(np.float64)
+    positions = np.zeros((s, 3), np.float64)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    positions[txt_len:, 1] = yy.ravel()
+    positions[txt_len:, 2] = xx.ravel()
+    q_rot = _ref_rope_rotate(q, positions, axes_dim)
+    k_rot = _ref_rope_rotate(k, positions, axes_dim)
+    want = q_rot @ k_rot.swapaxes(-1, -2)
+
+    perm = rope_head_permutation(d)
+    cos, sin = rope_frequencies((h, w), txt_len, axes_dim)
+    qh = np.asarray(apply_rope(jnp.asarray(q[..., perm]), cos, sin))
+    kh = np.asarray(apply_rope(jnp.asarray(k[..., perm]), cos, sin))
+    got = qh @ kh.swapaxes(-1, -2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_rope_text_positions_are_identity():
