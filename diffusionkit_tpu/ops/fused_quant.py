@@ -105,16 +105,28 @@ def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
     s_ref[0] = jnp.broadcast_to(scale, s_ref.shape[1:])
 
 
-def _pick_rows(n_feat: int, n_rows: int, bytes_per_elem: int = 8) -> int:
-    """Row-block size: multiple of 32 (int8 sublane tile), VMEM-bounded.
+# Largest (rows x feat) block that fits scoped VMEM with double buffering,
+# swept on v5e: 64x12288 for the FLUX MLP width (128x12288 fits standalone
+# but overflows scoped vmem by 0.4 MB inside the full step program);
+# 256x3072 for hidden width, where power-of-two row counts measured ~30%
+# faster than the old 32-multiple picks (224 rows lost to 128/256/512,
+# which tie).
+_ROWS_ELEM_BUDGET_V5E = 786_432
 
-    DIFFUSIONKIT_TPU_FUSED_ROWS overrides for on-chip sweeps."""
+
+def _pick_rows(n_feat: int, n_rows: int, bytes_per_elem: int = 8) -> int:
+    """Row-block size: power of two >= 32, VMEM-bounded per the swept
+    element budget. DIFFUSIONKIT_TPU_FUSED_ROWS overrides for sweeps."""
     env = os.environ.get("DIFFUSIONKIT_TPU_FUSED_ROWS")
     if env:
         return max(32, int(env) // 32 * 32)
-    bm = _vmem_budget() // (n_feat * bytes_per_elem)
-    bm = max(32, min(512, bm // 32 * 32))
-    return min(bm, max(32, -(-n_rows // 32) * 32))
+    from .chip import scale_budget
+
+    cap = max(32, scale_budget(_ROWS_ELEM_BUDGET_V5E) // n_feat)
+    bm = 32
+    while bm * 2 <= min(cap, 512):
+        bm *= 2
+    return bm
 
 
 def _rowwise_call(kernel, y2: jnp.ndarray, interpret: bool):
