@@ -11,12 +11,15 @@ too late. `clear_backends` + `jax_num_cpu_devices` switches in-process.
 
 import jax
 
-if jax.default_backend() != "cpu" or len(jax.devices()) < 8:
-    import jax.extend.backend as _jeb
+# Switch unconditionally WITHOUT querying the current backend first:
+# jax.default_backend() would initialise the axon TPU client, which
+# (a) wastes a chip claim per test run and (b) HANGS outright if the
+# relay tunnel is down — the CPU suite must not depend on TPU health.
+import jax.extend.backend as _jeb
 
-    _jeb.clear_backends()
-    jax.config.update("jax_num_cpu_devices", 8)
-    jax.config.update("jax_platforms", "cpu")
-    assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8
+_jeb.clear_backends()
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8
 
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -87,6 +87,23 @@ def test_mod_ln_quantize_bf16_input():
     assert diff.max() <= 1
 
 
+def test_pick_rows_swept_values(monkeypatch):
+    """The v5e-swept block rows must not drift: 64 rows at the FLUX MLP
+    width (128 overflowed scoped vmem in the full step program), 256 at
+    hidden width; power-of-two only; env override wins."""
+    from diffusionkit_tpu.ops import chip
+    from diffusionkit_tpu.ops.fused_quant import _pick_rows
+
+    monkeypatch.delenv("DIFFUSIONKIT_TPU_FUSED_ROWS", raising=False)
+    monkeypatch.delenv("DIFFUSIONKIT_TPU_VMEM_SCALE", raising=False)
+    monkeypatch.setattr(chip, "current_spec", lambda: chip.spec_for_kind("v5 lite"))
+    assert _pick_rows(12288, 4352) == 64
+    assert _pick_rows(3072, 4352) == 256
+    assert _pick_rows(128, 4352) == 512  # capped
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_FUSED_ROWS", "200")
+    assert _pick_rows(12288, 4352) == 192  # rounded down to a 32-multiple
+
+
 def test_mmdit_forward_fused_equals_unfused(monkeypatch):
     """Tiny w8a8 MMDiT: the fused-quant path (interpret) must reproduce the
     XLA quantize path within quantization-boundary tolerance."""
