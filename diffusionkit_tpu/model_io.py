@@ -1069,17 +1069,26 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Params:
     return listify(root)
 
 
+# Execution-layout revision of trees written by save_params. Bump whenever a
+# load-time weight transformation changes (a stale cache would silently
+# produce wrong images). 2 = rotate-half rope permutation folded into the
+# q/k projection columns (_permute_qk_for_rope).
+LAYOUT_VERSION = 2
+
+
 def save_params(params: Params, path: Union[str, Path]) -> None:
     """Save a mapped parameter pytree in THIS framework's layout.
 
     A capability the reference lacks (SURVEY.md §5 "no saving"): warm-start
     cache that skips the raw-checkpoint key mapping/splitting on reload —
     including quantized (q4/scales/zeros) trees. Written as standard
-    safetensors with '/'-joined pytree paths as keys.
+    safetensors with '/'-joined pytree paths as keys, stamped with
+    LAYOUT_VERSION so stale caches fail loudly instead of decoding wrong.
     """
     from safetensors.numpy import save_file
 
     flat = _flatten_params(params)
+    flat["__layout_version__"] = np.asarray([LAYOUT_VERSION], np.int32)
     # ml_dtypes (bf16) arrays pass through safetensors natively.
     save_file(flat, str(path))
     logger.info("Saved %d tensors to %s", len(flat), path)
@@ -1088,6 +1097,15 @@ def save_params(params: Params, path: Union[str, Path]) -> None:
 def load_params(path: Union[str, Path], to_device: bool = True, shardings=None) -> Params:
     """Load a pytree saved by save_params (zero-copy mmap read)."""
     flat = load_safetensors(path)
+    ver = flat.pop("__layout_version__", None)
+    ver = int(np.asarray(ver)[0]) if ver is not None else 1
+    if ver != LAYOUT_VERSION:
+        raise ValueError(
+            f"{path} was saved with execution-layout v{ver}; this build "
+            f"expects v{LAYOUT_VERSION} (the rope q/k column permutation "
+            "changed). Regenerate it with save_params from the raw "
+            "checkpoint."
+        )
     params = _unflatten_params(flat)
     if to_device:
         params = jax.device_put(params, shardings)
