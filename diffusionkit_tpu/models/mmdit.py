@@ -301,6 +301,34 @@ def apply_mmdit(
         mesh-aware dispatch (shard_map'd flash / ring; ops/attention.py).
     Returns: (B, H_lat, W_lat, C) model output (velocity prediction).
     """
+    if mesh is not None:
+        # The fused elementwise->int8 pallas_calls can't be partitioned by
+        # GSPMD over model-axis-sharded activations; force the XLA
+        # quantization path (which shards fine) for the whole traced body.
+        from ..ops import fused_quant
+
+        with fused_quant.disable_scope():
+            return _apply_mmdit_body(
+                params, config, latent, token_level_text_embeddings,
+                pooled_text_embeddings, timestep, guidance, sdpa_impl, mesh,
+            )
+    return _apply_mmdit_body(
+        params, config, latent, token_level_text_embeddings,
+        pooled_text_embeddings, timestep, guidance, sdpa_impl, mesh,
+    )
+
+
+def _apply_mmdit_body(
+    params: Params,
+    config: MMDiTConfig,
+    latent: jnp.ndarray,
+    token_level_text_embeddings: jnp.ndarray,
+    pooled_text_embeddings: jnp.ndarray,
+    timestep: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+    sdpa_impl: Optional[str],
+    mesh,
+) -> jnp.ndarray:
     b, lh, lw, _ = latent.shape
     dtype = config.dtype
     x = latent.astype(dtype)

@@ -376,7 +376,10 @@ def flash_attention_stats(
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            # o in f32: the ring combiner accumulates chunk outputs across
+            # n chips in f32 — rounding each chunk to the model dtype here
+            # would compound ~sqrt(n) * 2^-9 bf16 noise per ring.
+            jax.ShapeDtypeStruct((b * h, sq, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32),
             jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32),
         ),

@@ -114,17 +114,20 @@ def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
 _ROWS_ELEM_BUDGET_V5E = 786_432
 
 
-def _pick_rows(n_feat: int, n_rows: int, bytes_per_elem: int = 8) -> int:
+def _pick_rows(n_feat: int, n_rows: int) -> int:
     """Row-block size: power of two >= 32, VMEM-bounded per the swept
-    element budget. DIFFUSIONKIT_TPU_FUSED_ROWS overrides for sweeps."""
+    element budget and capped near the actual row count (a 154-token text
+    branch should not pad to a 256-row block).
+    DIFFUSIONKIT_TPU_FUSED_ROWS overrides for sweeps."""
     env = os.environ.get("DIFFUSIONKIT_TPU_FUSED_ROWS")
     if env:
         return max(32, int(env) // 32 * 32)
     from .chip import scale_budget
 
     cap = max(32, scale_budget(_ROWS_ELEM_BUDGET_V5E) // n_feat)
+    cap = min(cap, 512, max(32, -(-n_rows // 32) * 32))
     bm = 32
-    while bm * 2 <= min(cap, 512):
+    while bm * 2 <= cap:
         bm *= 2
     return bm
 
@@ -161,7 +164,32 @@ def _mode() -> str:
     return os.environ.get("DIFFUSIONKIT_TPU_FUSED_QUANT", "1")
 
 
+# Trace-time gate: under a mesh-partitioned jit these pallas_calls would sit
+# on model-axis-sharded operands, and GSPMD cannot partition an opaque
+# custom call (it replicates/gathers, breaking the asserted Megatron
+# collective pattern). apply_mmdit enters this scope when a mesh is active;
+# the XLA reference math (w8a8.quantize_activations fallback) partitions
+# fine. Plain Python state is correct here: it only influences which ops are
+# EMITTED during a (single-threaded) trace.
+_DISABLED_SCOPES = 0
+
+
+class disable_scope:
+    """Context manager: force the XLA quantization path inside."""
+
+    def __enter__(self):
+        global _DISABLED_SCOPES
+        _DISABLED_SCOPES += 1
+
+    def __exit__(self, *exc):
+        global _DISABLED_SCOPES
+        _DISABLED_SCOPES -= 1
+        return False
+
+
 def _enabled() -> bool:
+    if _DISABLED_SCOPES:
+        return False
     mode = _mode()
     if mode == "0":
         return False

@@ -60,7 +60,9 @@ def _chunk_stats_xla(q, k_blk, v_blk, vlen_local, scale):
         "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
         preferred_element_type=jnp.float32,
     ) / jnp.maximum(l, 1e-30)
-    return o.astype(q.dtype), m, l
+    # o stays f32 (like flash_attention_stats): the combiner accumulates
+    # chunk outputs across the ring in f32 and casts once at the end.
+    return o, m, l
 
 
 def _ring_attention_local(

@@ -183,6 +183,20 @@ _clip_step = partial(jax.jit, static_argnames=("config",))(apply_clip)
 _t5_step = partial(jax.jit, static_argnames=("config",))(apply_t5_encoder)
 
 
+def _t5_encode(pipeline, tokens) -> jnp.ndarray:
+    """Run the jitted T5 encoder; under a mesh the fused elementwise->int8
+    pallas_calls are traced out (GSPMD can't partition the opaque custom
+    call over the TP-sharded w8a8 T5 — same gating apply_mmdit does)."""
+    if pipeline.mesh is not None:
+        from .ops import fused_quant
+
+        with fused_quant.disable_scope():
+            return _t5_step(
+                pipeline.t5_params, tokens, config=pipeline.t5_config
+            )
+    return _t5_step(pipeline.t5_params, tokens, config=pipeline.t5_config)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _decode_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
     x = apply_vae_decoder(params, latents, config)
@@ -426,9 +440,9 @@ class DiffusionPipeline:
         )
         if self.use_t5:
             tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
-            t5_cond = _t5_step(
-                self.t5_params, jnp.asarray(tokens_t5), config=self.t5_config
-            ).astype(conditioning.dtype)
+            t5_cond = _t5_encode(self, jnp.asarray(tokens_t5)).astype(
+                conditioning.dtype
+            )
             if t5_cond.shape[-1] < conditioning.shape[-1]:
                 # d_model < 4096 only for reduced test models; real T5-XXL
                 # emits 4096 exactly (reference mlx/__init__.py:239-249).
@@ -900,7 +914,5 @@ class FluxPipeline(DiffusionPipeline):
         max_len = model_io.T5_MAX_LENGTH[self.model_version]
         padded = np.zeros((1, max_len), dtype=tokens_t5.dtype)
         padded[:, : tokens_t5.shape[1]] = tokens_t5[:1]
-        conditioning = _t5_step(
-            self.t5_params, jnp.asarray(padded), config=self.t5_config
-        )
+        conditioning = _t5_encode(self, jnp.asarray(padded))
         return conditioning, pooled

@@ -93,6 +93,8 @@ class GenerationServer:
         # queue of clients waiting forever.
         self.queue: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self._draining = False
+        # different-bucket jobs the worker holds locally between rounds
+        self._worker_pending = 0
         # Serialises every pipeline call: the worker holds it per batch and
         # /warmup (which runs on a handler thread) takes it per bucket, so
         # warmup can never race an in-flight batch on the chip.
@@ -179,7 +181,7 @@ class GenerationServer:
 
         return {
             **counters,
-            "queue_depth": self.queue.qsize(),
+            "queue_depth": self.queue.qsize() + self._worker_pending,
             "latency_p50_s": pct(0.50),
             "latency_p95_s": pct(0.95),
             "batch_occupancy": (sum(occ) / len(occ)) if occ else None,
@@ -189,18 +191,37 @@ class GenerationServer:
     # -- batching worker -------------------------------------------------------
 
     def _run(self):
+        # Jobs popped in a previous round whose bucket didn't match that
+        # round's batch. Held HERE, never re-enqueued: a blocking
+        # queue.put() back onto the (bounded) queue could deadlock the
+        # worker — handler threads refill freed slots while the worker is
+        # the only consumer.
+        pending: "collections.deque[_Job]" = collections.deque()
         while True:
-            first = self.queue.get()
+            self._worker_pending = len(pending)
+            first = pending.popleft() if pending else self.queue.get()
             if self.max_batch > 1 and self.queue.qsize() < self.max_batch - 1:
                 time.sleep(self.batch_window_s)  # let neighbours arrive
             batch = [first]
-            deferred = []
             try:
                 key = self._key(first.req)
             except Exception as e:  # defensive: generate() pre-validates
                 first.error = e
                 first.event.set()
                 continue
+            # Same-bucket neighbours: first from earlier deferrals (FIFO),
+            # then freshly queued jobs.
+            for _ in range(len(pending)):
+                if len(batch) >= self.max_batch:
+                    break
+                job = pending.popleft()
+                try:
+                    same = self._key(job.req) == key
+                except Exception as e:
+                    job.error = e
+                    job.event.set()
+                    continue
+                (batch.append(job) if same else pending.append(job))
             while len(batch) < self.max_batch:
                 try:
                     job = self.queue.get_nowait()
@@ -212,9 +233,7 @@ class GenerationServer:
                     job.error = e
                     job.event.set()
                     continue
-                (batch if same else deferred).append(job)
-            for job in deferred:  # different bucket: next round
-                self.queue.put(job)
+                (batch if same else pending).append(job)
             batch = [j for j in batch if not j.abandoned]
             if not batch:
                 continue
@@ -315,14 +334,15 @@ class GenerationServer:
         t0 = time.perf_counter()
         drained = False
         while time.perf_counter() - t0 < deadline_s:
-            if self.queue.qsize() == 0 and self._pipeline_lock.acquire(timeout=0.05):
+            if (self.queue.qsize() == 0 and self._worker_pending == 0
+                    and self._pipeline_lock.acquire(timeout=0.05)):
                 # Lock acquired with an empty queue: no batch is running.
                 # The worker may still be inside its batch window holding
                 # jobs it already popped — their events decide; one more
                 # empty-queue check after the window closes.
                 self._pipeline_lock.release()
                 time.sleep(self.batch_window_s * 2)
-                if self.queue.qsize() == 0:
+                if self.queue.qsize() == 0 and self._worker_pending == 0:
                     drained = True
                     break
             time.sleep(0.05)

@@ -140,3 +140,19 @@ def test_mmdit_forward_fused_equals_unfused(monkeypatch):
     assert np.abs(fused - base).max() / denom < 0.02, (
         np.abs(fused - base).max(), denom
     )
+
+
+def test_disable_scope_forces_xla_path(monkeypatch):
+    """apply_mmdit enters fused_quant.disable_scope() under a mesh: GSPMD
+    cannot partition the opaque pallas_call, so the sharded trace must fall
+    back to the XLA quantization math."""
+    from diffusionkit_tpu.ops import fused_quant
+
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_FUSED_QUANT", "interpret")
+    assert fused_quant._enabled()
+    with fused_quant.disable_scope():
+        assert not fused_quant._enabled()
+        with fused_quant.disable_scope():  # nests
+            assert not fused_quant._enabled()
+        assert not fused_quant._enabled()
+    assert fused_quant._enabled()

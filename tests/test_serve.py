@@ -254,3 +254,48 @@ def test_graceful_drain():
         assert e.value.code == 503
     finally:
         httpd.shutdown()
+
+
+def test_mixed_buckets_full_queue_no_deadlock():
+    """Different-bucket jobs the worker pops are held locally, never
+    re-enqueued: a blocking put back onto the BOUNDED queue could deadlock
+    the worker when handler threads refill the freed slots (the worker is
+    the queue's only consumer). All jobs must complete."""
+    srv = GenerationServer(
+        _StubPipeline(delay_s=0.05), max_batch=4, max_queue=4,
+        batch_window_s=0.2, request_timeout_s=30.0,
+    )
+    httpd, url = _serve(srv)
+    try:
+        results = []
+
+        def fire(size):
+            for attempt in range(20):  # 503 = shed, retry
+                try:
+                    with _post(url, {"prompt": "x", "height": size,
+                                     "width": size}) as r:
+                        results.append(r.status)
+                        return
+                except urllib.error.HTTPError as e:
+                    if e.code != 503:
+                        results.append(e.code)
+                        return
+                    time.sleep(0.1)
+            results.append("gave-up")
+
+        # Alternating shape buckets at 2x queue capacity: every round pops
+        # a mix, defers the other bucket, and handler threads keep the
+        # queue full underneath.
+        threads = [
+            threading.Thread(target=fire, args=(64 if i % 2 else 128,))
+            for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not any(t.is_alive() for t in threads), "worker deadlocked"
+        assert results.count(200) == 8, results
+        assert srv.metrics()["queue_depth"] == 0
+    finally:
+        httpd.shutdown()

@@ -67,7 +67,7 @@ def run_flux_t5(quantize_t5, steps, latent_hw):
     )
     img, _ = pipe.generate_image(
         PROMPT,
-        num_steps=4,
+        num_steps=steps,
         cfg_weight=0.0,
         latent_size=latent_hw,
         seed=42,
@@ -86,7 +86,8 @@ def main():
     ap.add_argument("--out", default="quant_quality.json")
     ap.add_argument("--t5", action="store_true",
                     help="measure quantize_t5 (w8a8 T5) on FLUX-schnell "
-                    "instead of the MMDiT mode table")
+                    "instead of the MMDiT mode table (use --steps 4 for "
+                    "the schnell-native schedule)")
     args = ap.parse_args()
 
     assert os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR"), (
