@@ -360,3 +360,42 @@ def test_sd35_odd_local_heads_dispatches_bshd_flash():
         sdpa(q, k, v, scale, impl="flash", mesh=mesh, layout="bshd")
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_tp_collective_pattern_quantized_w8a8():
+    """Same Megatron-pattern assertion for the w8a8 tree: the dynamic
+    per-token activation quantization must not introduce weight gathers.
+    The absmax over a model-axis-sharded feature dim adds small per-token
+    all-reduces, so the count bound is looser but every all-reduce stays
+    activation-sized."""
+    import re
+
+    from diffusionkit_tpu.ops.w8a8 import w8a8_tree
+
+    config = TP_FLUX
+    params = w8a8_tree(
+        jax.tree.map(np.asarray, init_mmdit_params(jax.random.PRNGKey(0), config)),
+        min_size=1,
+    )
+    mesh = create_mesh(2, 4)
+    sharded = shard_params(params, mmdit_shardings(params, mesh))
+    inputs = _mmdit_inputs(config)
+    comp = (
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))
+        .lower(sharded, *inputs)
+        .compile()
+    )
+    hlo = comp.as_text()
+
+    def count(op):
+        return len(re.findall(rf"%?{op}[.\d]* = ", hlo))
+
+    assert count("all-gather") == 0, "weights are being all-gathered"
+    assert count("all-to-all") == 0
+    n_ar = count("all-reduce")
+    assert 1 <= n_ar <= 16, f"unexpected all-reduce count {n_ar}"
+    weight_elems = config.hidden_size * config.hidden_size
+    for shapes in re.findall(r"%?all-reduce[.\d]* = \(?([^)\n]*)", hlo):
+        for dims in re.findall(r"(?:f32|s32|s8)\[([\d,]+)\]", shapes):
+            n = int(np.prod([int(d) for d in dims.split(",")]))
+            assert n < weight_elems, f"weight-sized all-reduce: {dims}"
