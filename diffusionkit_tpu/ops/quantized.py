@@ -22,7 +22,7 @@ only array leaves — required for lax.scan over stacked quantized blocks.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -215,13 +215,41 @@ def quantize_linear_params(
     return out
 
 
+# Mixed-precision override map (the "-mixed" pipeline modes): int4 only on
+# the bulk q/k/v/o/fc kernels; the quality-sensitive tensors keep more bits.
+# AdaLN ("ada") outputs multiply/shift EVERY token feature, so its weight
+# error is amplified model-wide — int8 halves nothing perf-wise (it is a
+# per-step (B, H) GEMV) and removes that amplification. The final layer and
+# the input/conditioning embedders are a negligible FLOP/byte fraction and
+# stay in the float dtype. Beyond-parity: MLX ``nn.quantize`` (reference
+# model_io.py:728-734) quantises every Linear uniformly.
+MIXED_OVERRIDES: Dict[str, Any] = {
+    "ada": 8,
+    "final_layer": None,
+    "x_embedder": None,
+    "context_embedder": None,
+    "y_embedder": None,
+    "t_embedder": None,
+    "guidance_embedder": None,
+}
+
+
 def quantize_tree(
-    params: Params, bits: int = 4, group_size: int = 64, min_size: int = 1 << 16
+    params: Params,
+    bits: int = 4,
+    group_size: int = 64,
+    min_size: int = 1 << 16,
+    overrides: Optional[Dict[str, Any]] = None,
 ) -> Params:
     """Recursively quantise every eligible linear kernel in a parameter tree.
 
     Stacked (scanned) block kernels (L, in, out) are quantised per layer and
     re-stacked so the scan body sees the same structure.
+
+    ``overrides`` maps a pytree key name to a bit-width for that subtree
+    (``None`` leaves the subtree in its float dtype) — see MIXED_OVERRIDES.
+    Key names apply wherever they occur, so rules hold uniformly across
+    stacked/scanned blocks and both the dual- and unified-stream families.
     """
     if isinstance(params, dict):
         if "kernel" in params and not is_quantized(params):
@@ -241,9 +269,18 @@ def quantize_tree(
                 stacked["bias"] = params.get("bias")
                 return stacked
             return params
-        return {k: quantize_tree(v, bits, group_size, min_size) for k, v in params.items()}
+        out = {}
+        for k, v in params.items():
+            b = bits
+            if overrides is not None and k in overrides:
+                if overrides[k] is None:
+                    out[k] = v
+                    continue
+                b = overrides[k]
+            out[k] = quantize_tree(v, b, group_size, min_size, overrides)
+        return out
     if isinstance(params, list):
-        return [quantize_tree(v, bits, group_size, min_size) for v in params]
+        return [quantize_tree(v, bits, group_size, min_size, overrides) for v in params]
     return params
 
 

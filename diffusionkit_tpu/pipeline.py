@@ -261,6 +261,7 @@ class DiffusionPipeline:
         quantize_t5: bool = False,
         use_scan: bool = True,
         mesh=None,
+        quantize_group_size: int = 64,
     ):
         from .utils import enable_compilation_cache
 
@@ -275,6 +276,10 @@ class DiffusionPipeline:
         self.use_t5 = use_t5 or self.t5_forced
         self.sdpa_impl = sdpa_impl
         self.quantize_mmdit = quantize_mmdit
+        # Group size for quantize-at-load (int4/int8/w4a8 modes); 32 halves
+        # the per-group quantisation error for ~1 extra bit/weight of scale
+        # overhead. Pre-quantized checkpoints keep their file's group size.
+        self.quantize_group_size = quantize_group_size
         # quantize_t5 (opt-in): w8a8 (int8-MXU) T5-XXL — 4.7 GB resident
         # instead of 9.4 bf16, the difference between single-16GB-chip
         # serving of 12B FLUX with T5 resident (int4 MMDiT 7.5 GB + int8 T5
@@ -340,15 +345,27 @@ class DiffusionPipeline:
             # requant feeding the int8 MXU, ops/w4a8_matmul.py — the
             # single-16GB-chip configuration for 12B FLUX).
             mode = self.quantize_mmdit if isinstance(self.quantize_mmdit, str) else "int4"
+            # "-mixed" suffix (int4-mixed / w4a8-mixed): int4 only on the bulk
+            # q/k/v/o/fc kernels; AdaLN at int8, final layer + embedders in
+            # the float dtype (ops/quantized.MIXED_OVERRIDES). Only effective
+            # when quantising from a float checkpoint — pre-quantized files
+            # carry uniform int4 that cannot be re-resolved.
+            mixed = mode.endswith("-mixed")
+            mode = mode[: -len("-mixed")] if mixed else mode
             if mode == "w8a8":
                 from .ops.w8a8 import w8a8_tree
 
                 params = w8a8_tree(params)
             else:
                 if self.model_version not in model_io.QUANTIZED_CKPT:
-                    from .ops.quantized import quantize_tree
+                    from .ops.quantized import MIXED_OVERRIDES, quantize_tree
 
-                    params = quantize_tree(params, bits=8 if mode == "int8" else 4)
+                    params = quantize_tree(
+                        params,
+                        bits=8 if mode == "int8" else 4,
+                        group_size=self.quantize_group_size,
+                        overrides=MIXED_OVERRIDES if mixed else None,
+                    )
                 if mode == "w4a8":
                     # int4 HBM footprint + int8 MXU rate (ops/w4a8_matmul.py).
                     from .ops.w4a8_matmul import add_wscale_tree
@@ -691,11 +708,15 @@ class DiffusionPipeline:
             if snap.get("peak_memory"):
                 log["peak_memory"] = max(log["peak_memory"], snap["peak_memory"])
 
+        # Phase timers wrap the compute only; the HBM snapshots are taken
+        # OUTSIDE the timed window (each snapshot is a device-stats query —
+        # a remote RPC on relay-attached setups — and charging it to the
+        # phase inflated e2e phase times by O(100 ms) per phase).
         t0 = time.time()
         conditioning, pooled = self.encode_text(text, cfg_weight, negative_text)
         jax.block_until_ready(conditioning)
-        log["text_encoding"]["post"] = self._mem()
         log["text_encoding"]["time"] = round(time.time() - t0, 3)
+        log["text_encoding"]["post"] = self._mem()
         track_peak(log["text_encoding"]["post"])
         if verbose:
             logger.info("Text encoding time: %.2fs", log["text_encoding"]["time"])
@@ -710,8 +731,8 @@ class DiffusionPipeline:
 
         if self.mmdit_params is None:
             self.load_mmdit()
-        t0 = time.time()
         log["denoising"]["pre"] = self._mem()
+        t0 = time.time()
         # Optional profiler capture of the hot loop (TPU equivalent of the
         # reference's per-phase timing contract, SURVEY.md §5: "same phase
         # log + jax.profiler trace option").
@@ -735,8 +756,8 @@ class DiffusionPipeline:
         if prof:
             jax.profiler.stop_trace()
             logger.info("Profiler trace written to %s", prof)
-        log["denoising"]["post"] = self._mem()
         log["denoising"]["time"] = round(time.time() - t0, 3)
+        log["denoising"]["post"] = self._mem()
         log["denoising"]["iter_time"] = iter_time
         track_peak(log["denoising"]["post"])
         if verbose:
@@ -748,12 +769,12 @@ class DiffusionPipeline:
 
         if self.decoder_params is None:
             self.load_decoder()
-        t0 = time.time()
         log["decoding"]["pre"] = self._mem()
+        t0 = time.time()
         decoded = self._decode_latents_to_u8(latents)
         decoded.block_until_ready()
-        log["decoding"]["post"] = self._mem()
         log["decoding"]["time"] = round(time.time() - t0, 3)
+        log["decoding"]["post"] = self._mem()
         track_peak(log["decoding"]["post"])
         if verbose:
             logger.info("Decoding time: %.2fs", log["decoding"]["time"])
@@ -883,6 +904,7 @@ class FluxPipeline(DiffusionPipeline):
         quantize_t5: bool = False,
         use_scan: bool = True,
         mesh=None,
+        quantize_group_size: int = 64,
     ):
         super().__init__(
             w16=w16,
@@ -898,6 +920,7 @@ class FluxPipeline(DiffusionPipeline):
             quantize_t5=quantize_t5,
             use_scan=use_scan,
             mesh=mesh,
+            quantize_group_size=quantize_group_size,
         )
         self.sampler = FluxSampler(shift=shift)
         self.latent_format = FluxLatentFormat()

@@ -87,6 +87,73 @@ def test_quantize_tree_mmdit_forward():
     assert np.abs(got - want).mean() < 0.1 * (np.abs(want).mean() + 1e-3)
 
 
+def test_quantize_tree_mixed_overrides():
+    """-mixed modes: int4 bulk kernels, int8 AdaLN, float final/embedders —
+    closer to fp32 than uniform int4 while running the same forward."""
+    from diffusionkit_tpu.ops.quantized import MIXED_OVERRIDES
+
+    config = MMDiTConfig(
+        depth_multimodal=2, num_heads=2, hidden_size_override=64,
+        max_latent_resolution=16, dtype=jnp.float32,
+    )
+    params = init_mmdit_params(jax.random.PRNGKey(0), config)
+    mixed = quantize_tree(params, bits=4, group_size=32, min_size=1,
+                          overrides=MIXED_OVERRIDES)
+    # bulk kernels int4, AdaLN int8, final layer + embedders untouched float
+    assert "q4" in mixed["mm_blocks"]["img"]["q"]
+    assert "q8" in mixed["mm_blocks"]["img"]["ada"]
+    assert mixed["mm_blocks"]["img"]["ada"]["q8"].ndim == 3  # stacked
+    assert "kernel" in mixed["final_layer"]["linear"]
+    assert "kernel" in mixed["final_layer"]["ada"]  # nested ada cut by parent
+    assert "kernel" in mixed["x_embedder"]
+    assert "kernel" in mixed["context_embedder"]
+
+    uniform = quantize_tree(params, bits=4, group_size=32, min_size=1)
+    rs = np.random.RandomState(0)
+    args = (
+        jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32),
+        jnp.asarray(rs.randn(1, 7, 4096), jnp.float32),
+        jnp.asarray(rs.randn(1, 2048), jnp.float32),
+        jnp.asarray([500.0], jnp.float32),
+    )
+    want = np.asarray(apply_mmdit(params, config, *args))
+    got_mixed = np.asarray(apply_mmdit(mixed, config, *args))
+    got_uniform = np.asarray(apply_mmdit(uniform, config, *args))
+    assert got_mixed.shape == want.shape
+    err_mixed = np.abs(got_mixed - want).mean()
+    err_uniform = np.abs(got_uniform - want).mean()
+    assert err_mixed < err_uniform  # mixed strictly improves on uniform int4
+
+
+def test_pipeline_mixed_mode_tree():
+    """quantize_mmdit='w4a8-mixed' through the pipeline loader: wscale lands
+    on the int4 leaves only; AdaLN stays int8 (no wscale), float leaves
+    untouched."""
+    from diffusionkit_tpu.ops.quantized import MIXED_OVERRIDES
+    from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_tree
+
+    config = MMDiTConfig(
+        depth_multimodal=2, num_heads=2, hidden_size_override=64,
+        max_latent_resolution=16, dtype=jnp.float32,
+    )
+    params = init_mmdit_params(jax.random.PRNGKey(1), config)
+    mixed = add_wscale_tree(
+        quantize_tree(params, bits=4, group_size=32, min_size=1,
+                      overrides=MIXED_OVERRIDES)
+    )
+    assert "wscale" in mixed["mm_blocks"]["img"]["q"]
+    assert "wscale" not in mixed["mm_blocks"]["img"]["ada"]
+    rs = np.random.RandomState(1)
+    args = (
+        jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32),
+        jnp.asarray(rs.randn(1, 7, 4096), jnp.float32),
+        jnp.asarray(rs.randn(1, 2048), jnp.float32),
+        jnp.asarray([500.0], jnp.float32),
+    )
+    out = np.asarray(apply_mmdit(mixed, config, *args))
+    assert np.isfinite(out).all()
+
+
 def test_int4_pallas_kernel_interpret_matches_xla():
     """Fused dequant-matmul kernel (interpret mode) vs the in-jit dequant."""
     from diffusionkit_tpu.ops.int4_matmul import int4_linear

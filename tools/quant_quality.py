@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODEL = "argmaxinc/mlx-stable-diffusion-3-medium"
 PROMPT = "a photo of a cat in a wizard hat"
-MODES = [None, "int8", "int4", "w8a8", "w4a8"]
+MODES = [None, "int8", "int4", "w8a8", "w4a8", "int4-mixed", "w4a8-mixed"]
 
 
 def run(mode, steps, latent_hw):
