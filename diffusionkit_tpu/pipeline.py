@@ -625,6 +625,29 @@ class DiffusionPipeline:
             self.decoder_config,
         )
 
+    def _decode_batched_u8(self, latents: jnp.ndarray) -> np.ndarray:
+        """Chunked batch decode: VAE peak activations scale with
+        batch x resolution (512-channel feature maps at half the output
+        resolution), so decoding a whole serving batch at once can OOM a
+        chip whose HBM is already ~13 GB of resident weights. Chunks bound
+        the decoder's live set to ~one 1024^2 image equivalent; the chunk
+        program compiles once and is reused across batches."""
+        n, h, w, _ = latents.shape
+        per = max(1, (128 * 128) // (h * w))
+        if n <= per:
+            return np.asarray(self._decode_latents_to_u8(latents))
+        outs = []
+        for i in range(0, n, per):
+            # Keep a single chunk shape (pad the tail) so at most one
+            # decode program exists per resolution.
+            chunk = latents[i : i + per]
+            pad = per - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+            out = np.asarray(self._decode_latents_to_u8(chunk))
+            outs.append(out[: per - pad] if pad else out)
+        return np.concatenate(outs, axis=0)
+
     def read_image(self, image_path: str) -> jnp.ndarray:
         from PIL import Image
 
@@ -771,8 +794,14 @@ class DiffusionPipeline:
             self.load_decoder()
         log["decoding"]["pre"] = self._mem()
         t0 = time.time()
-        decoded = self._decode_latents_to_u8(latents)
-        decoded.block_until_ready()
+        if latents.shape[0] == 1:
+            decoded = self._decode_latents_to_u8(latents)
+            decoded.block_until_ready()
+            x = None
+        else:
+            # num_images > 1: chunked decode bounds the VAE's live set
+            # (see _decode_batched_u8); includes the host transfer.
+            x = self._decode_batched_u8(latents)
         log["decoding"]["time"] = round(time.time() - t0, 3)
         log["decoding"]["post"] = self._mem()
         track_peak(log["decoding"]["post"])
@@ -783,7 +812,8 @@ class DiffusionPipeline:
             self.decoder_params = None
             gc.collect()
 
-        x = np.asarray(decoded)  # already uint8 on device
+        if x is None:
+            x = np.asarray(decoded)  # already uint8 on device
         log["total_time"] = round(time.time() - start_time, 3)
         if verbose:
             logger.info("============= Summary =============")
@@ -877,8 +907,7 @@ class DiffusionPipeline:
         latents = self.latent_format.process_out(x)
         if self.decoder_params is None:
             self.load_decoder()
-        decoded = self._decode_latents_to_u8(latents)
-        arr = np.asarray(decoded)
+        arr = self._decode_batched_u8(latents)
         return [Image.fromarray(im) for im in arr]
 
 

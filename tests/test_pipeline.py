@@ -154,6 +154,18 @@ def test_num_images_batching():
     np.testing.assert_array_equal(np.asarray(imgs[0]), np.asarray(img_single))
 
 
+def test_chunked_batch_decode_matches_full():
+    """_decode_batched_u8 (VAE OOM guard for serving batches) must equal the
+    all-at-once decode, including the padded tail chunk."""
+    pipe = build_sd3_pipeline()
+    # h*w=7744 -> per=2, n=3 -> chunks [0:2] and padded [2:3].
+    lat = jnp.asarray(np.random.RandomState(0).randn(3, 88, 88, 16), jnp.float32)
+    full = np.asarray(pipe._decode_latents_to_u8(lat))
+    chunked = pipe._decode_batched_u8(lat)
+    assert chunked.shape == full.shape and chunked.dtype == np.uint8
+    np.testing.assert_array_equal(chunked, full)
+
+
 def test_img2img_denoise_truncation(tmp_path):
     from PIL import Image
 
