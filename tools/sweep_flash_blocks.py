@@ -4,6 +4,10 @@ At FLUX 1024^2 the joint sequence 4352 is not divisible by the current
 q_blk=512 (pads to 4608, +5.9% wasted rows); 256 divides exactly.
 
 Usage: python tools/sweep_flash_blocks.py [B H S D [iters]]
+       python tools/sweep_flash_blocks.py --bshd [B H S D [iters]]
+--bshd sweeps flash_attention_bshd — the layout the model actually runs
+(head picked by column block index; different DMA pattern from the bhsd
+kernel, so sweep the kernel you ship).
 """
 import os
 import sys
@@ -17,21 +21,28 @@ import numpy as np
 
 
 def main():
-    B, H, S, D = (int(a) for a in sys.argv[1:5]) if len(sys.argv) >= 5 else (1, 24, 4352, 128)
-    iters = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    argv = sys.argv[1:]
+    bshd = "--bshd" in argv
+    argv = [a for a in argv if a != "--bshd"]
+    B, H, S, D = (int(a) for a in argv[0:4]) if len(argv) >= 4 else (1, 24, 4352, 128)
+    iters = int(argv[4]) if len(argv) > 4 else 16
     flops = 4.0 * B * H * S * S * D
     rs = np.random.RandomState(0)
-    from diffusionkit_tpu.ops.flash_attention import flash_attention
+    from diffusionkit_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_bshd,
+    )
 
-    q = jnp.asarray(rs.randn(B, H, S, D) * 0.3, jnp.bfloat16)
-    k = jnp.asarray(rs.randn(B, H, S, D) * 0.3, jnp.bfloat16)
-    v = jnp.asarray(rs.randn(B, H, S, D) * 0.3, jnp.bfloat16)
+    shape = (B, S, H, D) if bshd else (B, H, S, D)
+    fn = flash_attention_bshd if bshd else flash_attention
+    q = jnp.asarray(rs.randn(*shape) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rs.randn(*shape) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rs.randn(*shape) * 0.3, jnp.bfloat16)
     scale = 1.0 / float(np.sqrt(D))
     s128 = -(-S // 128) * 128
 
     def chain(q_blk, kv_blk):
         def body(c, _):
-            o = flash_attention(c, k, v, scale, q_blk=q_blk, kv_blk=kv_blk)
+            o = fn(c, k, v, scale, q_blk=q_blk, kv_blk=kv_blk)
             return (o * 0.5 + c * 0.5).astype(c.dtype), None
 
         @jax.jit
