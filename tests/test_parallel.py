@@ -124,6 +124,35 @@ def test_quantized_tp_matches_single_device():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
+def test_mixed_quantized_tp_matches_single_device():
+    """-mixed tree (int4 bulk + int8 ada + float final/embedders) under TP:
+    path rules shard by name regardless of each leaf's quantization format,
+    so the heterogeneous tree must still match single-device numerically."""
+    import dataclasses
+
+    from diffusionkit_tpu.ops.quantized import MIXED_OVERRIDES, quantize_tree
+
+    config = dataclasses.replace(TP_SD3, depth_multimodal=2)
+    params = quantize_tree(
+        init_mmdit_params(jax.random.PRNGKey(0), config),
+        bits=4, group_size=16, min_size=1, overrides=MIXED_OVERRIDES,
+    )
+    inputs = _mmdit_inputs(config)
+    want = np.asarray(apply_mmdit(params, config, *inputs))
+
+    mesh = create_mesh(2, 4)
+    sh = mmdit_shardings(params, mesh)
+    from jax.sharding import PartitionSpec as P2
+    assert sh["mm_blocks"]["img"]["q"]["q4"].spec == P2(None, None, "model")
+    assert sh["mm_blocks"]["img"]["ada"]["q8"].spec == P2()  # replicated
+    assert sh["final_layer"]["linear"]["kernel"].spec == P2()
+    sharded = shard_params(params, sh)
+    got = np.asarray(
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))(sharded, *inputs)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_sequence_parallel_attention():
     """Context parallelism: query sequence sharded over the model axis; XLA
     gathers K/V. (SURVEY.md §5 long-context: an extension beyond the
