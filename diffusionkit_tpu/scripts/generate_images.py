@@ -93,12 +93,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--quantize-mmdit", nargs="?", const="int4", default=None,
-        choices=["int4", "int8", "w8a8", "w4a8"],
+        choices=["int4", "int8", "w8a8", "w4a8", "int4-mixed", "w4a8-mixed"],
         help="Quantize the MMDiT at load. Bare flag = int4 weight-only (the "
              "reference's FluxPipeline(quantize_mmdit=True); required to fit "
              "the 12B FLUX bf16 checkpoints on one 16 GB chip). 'w8a8' runs "
              "int8 weights x dynamic int8 activations on the 2x-rate int8 "
-             "MXU path (ops/w8a8.py)",
+             "MXU path (ops/w8a8.py). '-mixed' keeps int4 on the bulk "
+             "kernels only (int8 AdaLN, float final layer/embedders) for "
+             "better fidelity when quantizing a float checkpoint",
+    )
+    parser.add_argument(
+        "--quantize-group-size", type=int, default=64,
+        help="Group size for quantize-at-load (32 halves the group error "
+             "for ~1 extra bit/weight); pre-quantized checkpoints keep "
+             "their file's group size",
     )
     parser.add_argument(
         "--use-scan", action=argparse.BooleanOptionalAction, default=True,
@@ -137,6 +145,7 @@ def cli(argv=None):
         local_ckpt=args.local_ckpt,
         use_scan=args.use_scan,
         quantize_mmdit=args.quantize_mmdit,
+        quantize_group_size=args.quantize_group_size,
     )
     if args.preload_models:
         sd.ensure_models_are_loaded()
