@@ -193,6 +193,17 @@ def _mm_block(
     img_len = img.shape[1]
     txt_len = txt.shape[1]
     if config.depth_unified > 0:
+        if rope is not None:
+            # FLUX text tokens carry all-zero (id, y, x) positions
+            # (reference mmdit.py:865-876), so their rotation is the
+            # identity (cos=1, sin=0 by construction — pinned by
+            # test_ops.test_rope_text_positions_are_identity). Rotating only the
+            # image branch BEFORE the joint concat lets XLA fuse
+            # qk-norm+rope into one pass per branch instead of the
+            # materialize-concat-rotate chain, and skips the text rows.
+            cos, sin = rope
+            q_i = apply_rope(q_i, cos[txt_len:, None, :], sin[txt_len:, None, :])
+            k_i = apply_rope(k_i, cos[txt_len:, None, :], sin[txt_len:, None, :])
         # FLUX order: text first (reference mmdit.py:594-606). Sequence is
         # axis 1 in the bshd layout.
         q = jnp.concatenate([q_t, q_i], axis=1)
@@ -203,11 +214,10 @@ def _mm_block(
         q = jnp.concatenate([q_i, q_t], axis=1)
         k = jnp.concatenate([k_i, k_t], axis=1)
         v = jnp.concatenate([v_i, v_t], axis=1)
-
-    if rope is not None:
-        cos, sin = rope  # (S, d/2); broadcast over the head axis in bshd
-        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
-        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+        if rope is not None:
+            cos, sin = rope  # (S, d/2); broadcast over the head axis
+            q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+            k = apply_rope(k, cos[:, None, :], sin[:, None, :])
 
     o = sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl,
              mesh=mesh, layout="bshd")
