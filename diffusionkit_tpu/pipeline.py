@@ -176,6 +176,61 @@ def _denoise_scan(
     return x
 
 
+@partial(jax.jit, static_argnames=("cfg_on", "num_images", "dtype"))
+def _prep_conditioning(conditioning, pooled, cfg_on: bool, num_images: int, dtype):
+    """Conditioning batch layout for the denoise loop, as ONE jitted program
+    (the slice/tile/astype chain used to run as ~4 eager dispatches — each a
+    ~13 ms RPC on relay-attached setups). With CFG the rows are
+    [pos*N, neg*N] to match the [x, x] latent doubling; without, the
+    positive row only."""
+    if cfg_on:
+        if conditioning.shape[0] == 1:
+            conditioning = jnp.tile(conditioning, (2, 1, 1))
+            pooled = jnp.tile(pooled, (2, 1))
+        if num_images > 1:
+            conditioning = jnp.repeat(conditioning, num_images, axis=0)
+            pooled = jnp.repeat(pooled, num_images, axis=0)
+    else:
+        conditioning = conditioning[:1]
+        pooled = pooled[:1]
+        if num_images > 1:
+            conditioning = jnp.tile(conditioning, (num_images, 1, 1))
+            pooled = jnp.tile(pooled, (num_images, 1))
+    return conditioning.astype(dtype), pooled.astype(dtype)
+
+
+@jax.jit
+def _process_out_step(x, scale, shift):
+    """LatentFormat.process_out as one fused dispatch."""
+    return x / scale + shift
+
+
+@jax.jit
+def _assemble_sd3_conditioning(h_l, h_g, p_l, p_g, t5_cond):
+    """SD3 conditioning assembly as ONE jitted program: penultimate hidden
+    states concat to 2048, zero-pad to 4096, pooled concat, then the T5
+    token rows appended (zeros when T5 is off) —
+    reference mlx/__init__.py:216-249."""
+    conditioning = jnp.concatenate([h_l, h_g], axis=-1)
+    pooled = jnp.concatenate([p_l, p_g], axis=-1)
+    b, s, d = conditioning.shape
+    conditioning = jnp.concatenate(
+        [conditioning, jnp.zeros((b, s, 4096 - d), conditioning.dtype)], axis=-1
+    )
+    if t5_cond is not None:
+        t5c = t5_cond.astype(conditioning.dtype)
+        if t5c.shape[-1] < conditioning.shape[-1]:
+            # d_model < 4096 only for reduced test models; real T5-XXL
+            # emits 4096 exactly (reference mlx/__init__.py:239-249).
+            pad = conditioning.shape[-1] - t5c.shape[-1]
+            t5c = jnp.concatenate(
+                [t5c, jnp.zeros((*t5c.shape[:-1], pad), t5c.dtype)], axis=-1
+            )
+    else:
+        t5c = jnp.zeros_like(conditioning)
+    return jnp.concatenate([conditioning, t5c], axis=1), pooled
+
+
 # Jitted text-encoder steps: without jit the per-layer ops dispatch eagerly
 # (hundreds of host round-trips — measured 2.5 s/prompt on the relay vs ~30 ms
 # compiled).
@@ -197,21 +252,30 @@ def _t5_encode(pipeline, tokens) -> jnp.ndarray:
     return _t5_step(pipeline.t5_params, tokens, config=pipeline.t5_config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _decode_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
+@partial(jax.jit, static_argnames=("config", "dtype"))
+def _decode_step(
+    params: Params, latents: jnp.ndarray, config: VAEDecoderConfig, dtype=None
+):
+    if dtype is not None:
+        latents = latents.astype(dtype)
     x = apply_vae_decoder(params, latents, config)
     return jnp.clip(x / 2 + 0.5, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _decode_u8_step(params: Params, latents: jnp.ndarray, config: VAEDecoderConfig):
+@partial(jax.jit, static_argnames=("config", "dtype"))
+def _decode_u8_step(
+    params: Params, latents: jnp.ndarray, config: VAEDecoderConfig, dtype=None
+):
     """Decode straight to uint8 pixels ON DEVICE: the device->host transfer
     is 3 bytes/pixel instead of 12 (f32) — ~10 MB saved per 1024² image on
     the PCIe/relay hop. floor matches numpy's truncating cast; XLA's fused
     ``clip*255`` may still reassociate under excess precision, so vs the
     old host-side cast individual pixels can differ by at most 1/255
     (PSNR ~50 dB — far above the 20 dB golden gate). Outputs remain
-    deterministic run to run."""
+    deterministic run to run. ``dtype``: activation dtype cast, folded in
+    here so the caller issues no eager astype dispatch."""
+    if dtype is not None:
+        latents = latents.astype(dtype)
     x = apply_vae_decoder(params, latents, config)
     x = jnp.clip(x / 2 + 0.5, 0.0, 1.0)
     return jnp.floor(x * 255.0).astype(jnp.uint8)
@@ -443,53 +507,40 @@ class DiffusionPipeline:
         neg = negative_text if cfg_weight > 1 else None
         tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
         tokens_g = tokenize_batch(self.tokenizer_g, text, neg)
-        out_l = _clip_step(self.clip_l, jnp.asarray(tokens_l), config=self.clip_l_config)
-        out_g = _clip_step(self.clip_g, jnp.asarray(tokens_g), config=self.clip_g_config)
-        # Penultimate hidden states, concat to 2048, zero-pad to 4096
-        # (reference mlx/__init__.py:216-237).
-        conditioning = jnp.concatenate(
-            [out_l.hidden_states[-2], out_g.hidden_states[-2]], axis=-1
-        )
-        pooled = jnp.concatenate([out_l.pooled_output, out_g.pooled_output], axis=-1)
-        b, s, d = conditioning.shape
-        conditioning = jnp.concatenate(
-            [conditioning, jnp.zeros((b, s, 4096 - d), conditioning.dtype)], axis=-1
-        )
+        # Host numpy tokens go straight into the jitted encoders; the
+        # conditioning assembly (concat/pad chain,
+        # reference mlx/__init__.py:216-249) is one jitted program — it used
+        # to run as ~7 eager dispatches (each a ~13 ms RPC on relay setups).
+        out_l = _clip_step(self.clip_l, tokens_l, config=self.clip_l_config)
+        out_g = _clip_step(self.clip_g, tokens_g, config=self.clip_g_config)
+        t5_cond = None
         if self.use_t5:
             tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
-            t5_cond = _t5_encode(self, jnp.asarray(tokens_t5)).astype(
-                conditioning.dtype
-            )
-            if t5_cond.shape[-1] < conditioning.shape[-1]:
-                # d_model < 4096 only for reduced test models; real T5-XXL
-                # emits 4096 exactly (reference mlx/__init__.py:239-249).
-                t5_cond = jnp.concatenate(
-                    [
-                        t5_cond,
-                        jnp.zeros(
-                            (*t5_cond.shape[:-1], conditioning.shape[-1] - t5_cond.shape[-1]),
-                            t5_cond.dtype,
-                        ),
-                    ],
-                    axis=-1,
-                )
-        else:
-            t5_cond = jnp.zeros_like(conditioning)
-        conditioning = jnp.concatenate([conditioning, t5_cond], axis=1)
-        return conditioning, pooled
+            t5_cond = _t5_encode(self, tokens_t5)
+        return _assemble_sd3_conditioning(
+            out_l.hidden_states[-2], out_g.hidden_states[-2],
+            out_l.pooled_output, out_g.pooled_output, t5_cond,
+        )
 
     # -- noise / sigma helpers (reference mlx/__init__.py:553-594) -----------
 
-    def get_noise(self, seed: int, x_T: jnp.ndarray) -> jnp.ndarray:
+    def get_noise(self, seed: int, x_T) -> np.ndarray:
+        """Seeded numpy noise drawn in NCHW then transposed to NHWC — the
+        exact reference recipe (mlx/__init__.py:553-557) so fixed seeds are
+        pixel-comparable. Host numpy output: callers fold it into the next
+        jitted call so no eager device op is dispatched (each eager dispatch
+        is a ~13 ms relay RPC on tunnel-attached setups)."""
         np.random.seed(seed)
-        noise = np.random.randn(*np.asarray(x_T).transpose(0, 3, 1, 2).shape)
-        return jnp.asarray(noise.transpose(0, 2, 3, 1), dtype=jnp.float32)
+        b, h, w, c = x_T.shape
+        noise = np.random.randn(b, c, h, w)
+        return noise.transpose(0, 2, 3, 1).astype(np.float32)
 
     def get_sigmas(self, num_steps: int) -> np.ndarray:
         return self.sampler.get_sigmas(num_steps)
 
-    def get_empty_latent(self, *shape) -> jnp.ndarray:
-        return jnp.full([1, *shape, 16], 0.0609, jnp.float32)
+    def get_empty_latent(self, *shape) -> np.ndarray:
+        """Host numpy (see get_noise): folded into the first jitted call."""
+        return np.full([1, *shape, 16], 0.0609, np.float32)
 
     def max_denoise(self, sigmas) -> bool:
         return self.sampler.max_denoise(sigmas)
@@ -512,14 +563,20 @@ class DiffusionPipeline:
         seed = int(time.time()) if seed is None else int(seed)
         logger.info("Seed: %s", seed)
 
+        # All pre-scan prep stays in host numpy: each eager device op is a
+        # full dispatch (a ~13 ms RPC on relay-attached setups), and this
+        # block used to issue ~8 of them per image. The single H2D transfer
+        # happens as part of the jitted denoise call itself.
         if image_path is None:
             denoise = 1.0
             x_T = self.get_empty_latent(*latent_size)
         else:
-            x_T = self.encode_image_to_latents(image_path, seed=seed)
+            x_T = np.asarray(
+                self.encode_image_to_latents(image_path, seed=seed), np.float32
+            )
             x_T = self.latent_format.process_in(x_T)
         if num_images > 1:
-            x_T = jnp.tile(x_T, (num_images, 1, 1, 1))
+            x_T = np.tile(x_T, (num_images, 1, 1, 1))
         # Noise drawn for the whole batch in one seeded call: image 0's noise
         # is bit-identical to the num_images=1 case (numpy fills C-order), so
         # fixed-seed parity with the reference holds while every additional
@@ -527,11 +584,11 @@ class DiffusionPipeline:
         noise = self.get_noise(seed, x_T)
 
         sigmas = self.get_sigmas(num_steps)[int(num_steps * (1 - denoise)) :]
-        noise_scaled = jnp.asarray(
+        noise_scaled = np.asarray(
             self.sampler.noise_scaling(
                 sigmas[0], noise, x_T, self.max_denoise(sigmas)
             ),
-            jnp.float32,
+            np.float32,
         )
 
         # CFG engages only above 1.0, matching encode_text's negative-row
@@ -541,30 +598,18 @@ class DiffusionPipeline:
         # prediction — identical output, twice the compute — so the single
         # consistent threshold is used here.
         cfg_on = cfg_weight > 1
-        if cfg_on:
-            if conditioning.shape[0] == 1:
-                conditioning = jnp.tile(conditioning, (2, 1, 1))
-                pooled_conditioning = jnp.tile(pooled_conditioning, (2, 1))
-            if num_images > 1:
-                # [pos*N, neg*N] to match the [x, x] latent doubling.
-                conditioning = jnp.repeat(conditioning, num_images, axis=0)
-                pooled_conditioning = jnp.repeat(pooled_conditioning, num_images, axis=0)
-        else:
-            conditioning = conditioning[:1]
-            pooled_conditioning = pooled_conditioning[:1]
-            if num_images > 1:
-                conditioning = jnp.tile(conditioning, (num_images, 1, 1))
-                pooled_conditioning = jnp.tile(pooled_conditioning, (num_images, 1))
-
-        conditioning = conditioning.astype(self.mmdit_config.dtype)
-        pooled_conditioning = pooled_conditioning.astype(self.mmdit_config.dtype)
+        conditioning, pooled_conditioning = _prep_conditioning(
+            conditioning, pooled_conditioning,
+            cfg_on=cfg_on, num_images=num_images,
+            dtype=self.mmdit_config.dtype,
+        )
         g = None
         if self.mmdit_config.guidance_embed:
-            g = jnp.asarray(3.5 if guidance is None else guidance, jnp.float32)
+            g = np.float32(3.5 if guidance is None else guidance)
 
         x = noise_scaled
         iter_time: List[float] = []
-        w = jnp.asarray(cfg_weight, jnp.float32)
+        w = np.float32(cfg_weight)
         n_iter = len(sigmas) - 1
         if self.use_scan:
             # One XLA program for the whole schedule; per-iter times are
@@ -573,7 +618,7 @@ class DiffusionPipeline:
             x = _denoise_scan(
                 self.mmdit_params,
                 x,
-                jnp.asarray(sigmas, jnp.float32),
+                np.asarray(sigmas, np.float32),
                 conditioning,
                 pooled_conditioning,
                 w,
@@ -591,8 +636,8 @@ class DiffusionPipeline:
                 x = _denoise_step(
                     self.mmdit_params,
                     x,
-                    jnp.asarray(sigmas[i], jnp.float32),
-                    jnp.asarray(sigmas[i + 1], jnp.float32),
+                    np.float32(sigmas[i]),
+                    np.float32(sigmas[i + 1]),
                     conditioning,
                     pooled_conditioning,
                     w,
@@ -605,7 +650,11 @@ class DiffusionPipeline:
                 x.block_until_ready()
                 iter_time.append(round(time.perf_counter() - t0, 4))
 
-        latent = self.latent_format.process_out(x)
+        latent = _process_out_step(
+            x,
+            np.float32(self.latent_format.scale_factor),
+            np.float32(self.latent_format.shift_factor),
+        )
         return latent, iter_time
 
     # -- decoding / encoding (reference mlx/__init__.py:581-594) -------------
@@ -613,16 +662,18 @@ class DiffusionPipeline:
     def decode_latents_to_image(self, x_t: jnp.ndarray) -> jnp.ndarray:
         return _decode_step(
             self.decoder_params,
-            x_t.astype(self.activation_dtype),
+            x_t,
             self.decoder_config,
+            dtype=self.activation_dtype,
         )
 
     def _decode_latents_to_u8(self, x_t: jnp.ndarray) -> jnp.ndarray:
         """uint8 pixels decoded on device (see _decode_u8_step)."""
         return _decode_u8_step(
             self.decoder_params,
-            x_t.astype(self.activation_dtype),
+            x_t,
             self.decoder_config,
+            dtype=self.activation_dtype,
         )
 
     def _decode_batched_u8(self, latents: jnp.ndarray) -> np.ndarray:
@@ -659,7 +710,7 @@ class DiffusionPipeline:
             )
             img = img.resize((W, H), Image.LANCZOS)
         arr = np.asarray(img)[:, :, :3].astype(np.float32) / 255 * 2 - 1
-        return jnp.asarray(arr)[None]
+        return arr[None]  # host numpy; folded into the jitted encode call
 
     def encode_image_to_latents(self, image_path: str, seed: int) -> jnp.ndarray:
         if self.encoder_params is None:
@@ -672,7 +723,7 @@ class DiffusionPipeline:
         # reference exactly (np.random.seed per get_noise call,
         # reference mlx/__init__.py:553-555,586-594).
         b, h, w, _ = image.shape
-        mean_shape = jnp.zeros((b, h // 8, w // 8, 16))
+        mean_shape = np.zeros((b, h // 8, w // 8, 16), np.float32)
         noise = self.get_noise(seed, mean_shape)
         return _encode_step(self.encoder_params, image, noise, self.encoder_config)
 
@@ -879,22 +930,22 @@ class DiffusionPipeline:
         if self.mmdit_params is None:
             self.load_mmdit()
         x_T1 = self.get_empty_latent(*latent_size)
-        noise = jnp.concatenate([self.get_noise(s, x_T1) for s in seeds])
+        noise = np.concatenate([self.get_noise(s, x_T1) for s in seeds])
         sigmas = self.get_sigmas(num_steps)
-        noise_scaled = jnp.asarray(
+        noise_scaled = np.asarray(
             self.sampler.noise_scaling(
-                sigmas[0], noise, jnp.tile(x_T1, (n, 1, 1, 1)),
+                sigmas[0], noise, np.tile(x_T1, (n, 1, 1, 1)),
                 self.max_denoise(sigmas),
             ),
-            jnp.float32,
+            np.float32,
         )
         g = None
         if self.mmdit_config.guidance_embed:
-            g = jnp.asarray(3.5 if guidance is None else guidance, jnp.float32)
+            g = np.float32(3.5 if guidance is None else guidance)
         x = _denoise_scan(
             self.mmdit_params,
             noise_scaled,
-            jnp.asarray(sigmas, jnp.float32),
+            np.asarray(sigmas, np.float32),
             conditioning.astype(self.mmdit_config.dtype),
             pooled.astype(self.mmdit_config.dtype),
             jnp.asarray(cfg_weight, jnp.float32),
@@ -904,7 +955,11 @@ class DiffusionPipeline:
             self.sdpa_impl,
             self.mesh,
         )
-        latents = self.latent_format.process_out(x)
+        latents = _process_out_step(
+            x,
+            np.float32(self.latent_format.scale_factor),
+            np.float32(self.latent_format.shift_factor),
+        )
         if self.decoder_params is None:
             self.load_decoder()
         arr = self._decode_batched_u8(latents)
@@ -959,12 +1014,13 @@ class FluxPipeline(DiffusionPipeline):
         to the model's max length (reference mlx/__init__.py:642-671)."""
         neg = negative_text if cfg_weight > 1 else None
         tokens_l = tokenize_batch(self.tokenizer_l, text, neg)
-        out_l = _clip_step(self.clip_l, jnp.asarray(tokens_l[:1]), config=self.clip_l_config)
+        # numpy tokens straight into the jitted encoders (no eager device_put)
+        out_l = _clip_step(self.clip_l, tokens_l[:1], config=self.clip_l_config)
         pooled = out_l.pooled_output
 
         tokens_t5 = tokenize_batch(self.t5_tokenizer, text, neg)
         max_len = model_io.T5_MAX_LENGTH[self.model_version]
         padded = np.zeros((1, max_len), dtype=tokens_t5.dtype)
         padded[:, : tokens_t5.shape[1]] = tokens_t5[:1]
-        conditioning = _t5_encode(self, jnp.asarray(padded))
+        conditioning = _t5_encode(self, padded)
         return conditioning, pooled
