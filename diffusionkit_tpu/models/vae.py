@@ -15,6 +15,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import VAEDecoderConfig, VAEEncoderConfig
 from ..ops.common import linear
@@ -56,17 +57,22 @@ def _resnet_block(params: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
 
 def _attn_block(params: Params, x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """Single-head GroupNorm attention (reference vae.py:28-57), fp32 softmax."""
+    """Single-head GroupNorm attention (reference vae.py:28-57), fp32 softmax.
+
+    Dispatched through ops.attention.sdpa as one 512-wide head in bshd
+    layout: above the flash threshold (mid-block resolution > 32x32) the
+    Pallas streaming kernel runs instead of a materialised (h*w)^2 score
+    matrix — at 1024^2 output the einsum path allocated a 16384^2 f32
+    score tensor (1 GB of HBM traffic and peak), and at 2048^2 it could
+    not be allocated at all (17 GB)."""
+    from ..ops.attention import sdpa
+
     b, h, w, c = x.shape
     y = group_norm(x, params["group_norm"]["weight"], params["group_norm"]["bias"], groups)
-    q = linear(params["query_proj"], y).reshape(b, h * w, c)
-    k = linear(params["key_proj"], y).reshape(b, h * w, c)
-    v = linear(params["value_proj"], y).reshape(b, h * w, c)
-    scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(scores * (1.0 / jnp.sqrt(jnp.float32(c))), axis=-1)
-    y = jnp.einsum(
-        "bqk,bkc->bqc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    q = linear(params["query_proj"], y).reshape(b, h * w, 1, c)
+    k = linear(params["key_proj"], y).reshape(b, h * w, 1, c)
+    v = linear(params["value_proj"], y).reshape(b, h * w, 1, c)
+    y = sdpa(q, k, v, scale=float(1.0 / np.sqrt(c)), layout="bshd").astype(x.dtype)
     return x + linear(params["out_proj"], y.reshape(b, h, w, c))
 
 

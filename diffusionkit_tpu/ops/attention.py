@@ -113,7 +113,9 @@ def sdpa(
     seq = q.shape[1] if bshd else q.shape[-2]
     head_dim = q.shape[-1]
     num_heads = q.shape[2] if bshd else q.shape[-3]
-    flash_ok = head_dim in (64, 128, 256)
+    # 64/128/256 are the MMDiT head dims; any d % 128 == 0 beyond that is
+    # lane-aligned with pack=1 (the VAE mid-block's single 512-wide head).
+    flash_ok = head_dim in (64, 128, 256) or head_dim % 128 == 0
     want_flash = impl == "flash" or (
         impl == "auto" and _on_tpu() and seq > FLASH_ATTN_THRESHOLD and flash_ok
     )

@@ -139,6 +139,15 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     """
     import os
 
+    if d > 256:
+        # Wide single-head attention (the VAE mid-block: h=1, d=512). The
+        # scratch/kv tiles scale with d, so the d<=256 budgets above-derived
+        # don't transfer: 512/512 streaming tiles keep the program ~8.5 MB
+        # of VMEM (score f32 1 MB + 3x m/l/acc 1 MB + double-buffered
+        # 0.5 MB q/k/v/o blocks) — conservative, correctness-first; sweep
+        # on-chip before raising.
+        return 512, 512
+
     budget = _score_budget()
     s128 = -(-s // 128) * 128
     # Single-tile kv needs the f32 score buffer AND both whole-sequence k/v

@@ -317,6 +317,34 @@ def test_flash_attention_bshd_packed_d64():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_flash_attention_bshd_wide_single_head():
+    """d=512, h=1: the VAE mid-block shape (reference vae.py:28-57) routed
+    through the bshd kernel with pack=1 and the d-aware streaming blocks."""
+    from diffusionkit_tpu.ops.attention import xla_sdpa
+    from diffusionkit_tpu.ops.flash_attention import (
+        flash_attention_bshd,
+        pick_flash_blocks,
+    )
+
+    assert pick_flash_blocks(16384, 512) == (512, 512)
+    rs = np.random.RandomState(13)
+    # Non-multiple-of-512 sequence exercises the pad/mask path.
+    q = rs.randn(1, 600, 1, 512).astype(np.float32)
+    k = rs.randn(1, 600, 1, 512).astype(np.float32)
+    v = rs.randn(1, 600, 1, 512).astype(np.float32)
+    scale = 512**-0.5
+    want = np.asarray(
+        xla_sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, layout="bshd")
+    )
+    got = np.asarray(
+        flash_attention_bshd(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=scale, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # Sampler schedules (reference sampler.py:10-77, mlx/__init__.py:559-571)
 # ---------------------------------------------------------------------------

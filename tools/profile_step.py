@@ -43,6 +43,35 @@ def build_step(mode: str):
         cond = jnp.zeros((2, 10, 32), config.dtype)
         pooled = jnp.zeros((2, 48), config.dtype)
         cfg, cfg_on = 5.0, True
+    elif mode == "vae-decode":
+        # 1024^2 decode: where does the non-roofline time go? (convs vs
+        # GroupNorm vs mid attention). Chained via a latent derived from the
+        # previous uint8 output so steps can't be elided.
+        from diffusionkit_tpu.config import VAEDecoderConfig
+        from diffusionkit_tpu.models import init_vae_decoder_params
+        from diffusionkit_tpu.pipeline import _decode_u8_step
+
+        config = VAEDecoderConfig()
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            init_vae_decoder_params(jax.random.PRNGKey(0), config),
+        )
+        latent0 = jnp.asarray(
+            np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32
+        )
+        jax.block_until_ready(params)
+
+        @jax.jit
+        def _reseed(img, latent):
+            # cheap image->latent feedback: mean-pool 8x8 patches to 16ch
+            x = img[:, ::8, ::8, :1].astype(jnp.float32)
+            return latent + 0.001 * jnp.broadcast_to(x, latent.shape)
+
+        def step(latent, i):
+            img = _decode_u8_step(params, latent, config, dtype=jnp.bfloat16)
+            return _reseed(img, latent)
+
+        return step, latent0
     elif mode in ("flux-int4", "flux-w4a8"):
         config = FLUX_SCHNELL
         params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
