@@ -155,7 +155,13 @@ def enable_compilation_cache(path: Optional[str] = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # No min-compile-time floor: behind a PJRT relay (the axon backend)
+        # the LOCAL compile call returns in <1 s while the real compile runs
+        # remotely, so JAX's default 1.0 s floor rejects writing exactly the
+        # expensive Mosaic-bearing programs (the MMDiT step recompiled 3-5
+        # min in every new process). Entries for genuinely tiny programs are
+        # a few KB — caching them is harmless.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _COMPILE_CACHE_SET = True
     except Exception as e:  # pragma: no cover - config name drift
         get_logger(__name__).debug("compilation cache unavailable: %s", e)

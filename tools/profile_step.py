@@ -72,6 +72,22 @@ def build_step(mode: str):
             return _reseed(img, latent)
 
         return step, latent0
+    elif mode == "sd35-w4a8":
+        # SD3.5-large 1024^2 CFG in the serving quant mode — the bench's 47%
+        # MFU outlier (FLUX w4a8 reaches 84%); the HLO category split says
+        # whether the gap is GEMM efficiency (small-M txt-branch matmuls) or
+        # unfused elementwise.
+        from diffusionkit_tpu.config import SD3_8b
+        from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
+
+        config = SD3_8b
+        params = add_wscale_bound_tree(
+            init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
+        )
+        latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
+        cond = jnp.zeros((2, 154, 4096), config.dtype)
+        pooled = jnp.zeros((2, 2048), config.dtype)
+        cfg, cfg_on = 5.0, True
     elif mode in ("flux-int4", "flux-w4a8"):
         config = FLUX_SCHNELL
         params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)

@@ -84,6 +84,10 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="quant_quality.json")
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated subset of modes to measure "
+                    "(e.g. 'int4-mixed,w4a8-mixed'); the bf16 base always "
+                    "runs first")
     ap.add_argument("--t5", action="store_true",
                     help="measure quantize_t5 (w8a8 T5) on FLUX-schnell "
                     "instead of the MMDiT mode table (use --steps 4 for "
@@ -112,9 +116,13 @@ def main():
             json.dump(out, f, indent=2)
         print("wrote", args.out, flush=True)
         return
+    modes = MODES
+    if args.modes:
+        wanted = {m.strip() for m in args.modes.split(",")}
+        modes = [None] + [m for m in MODES if m in wanted]
     results = {}
     base = None
-    for mode in MODES:
+    for mode in modes:
         img, dt = run(mode, args.steps, latent_hw)
         name = mode or "bf16"
         if base is None:
