@@ -331,3 +331,27 @@ def test_sd3_with_t5_conditioning():
         "hello", num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seed=4, verbose=False
     )
     assert img.size == (64, 64)
+
+
+def test_compilation_cache_floor_is_zero(tmp_path, monkeypatch):
+    """Behind the axon PJRT relay the local compile call returns in <1 s
+    while the real compile runs remotely, so any positive
+    jax_persistent_cache_min_compile_time_secs floor silently rejects
+    writing exactly the expensive Mosaic-bearing programs (the MMDiT step
+    recompiled 3-5 min per process before round 3). Pin the floor at 0."""
+    import jax
+
+    from diffusionkit_tpu import utils
+
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setattr(utils, "_COMPILE_CACHE_SET", False)
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_floor = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        utils.enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_floor)
+        utils._COMPILE_CACHE_SET = False

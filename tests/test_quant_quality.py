@@ -29,10 +29,15 @@ SIZE = 256
 # Floors in dB vs the bf16 image at identical seed. int8-family modes track
 # bf16 closely; int4 weight grids (group-affine, g=32) cost more. Measured
 # on the mirror checkpoint at exactly this config (256², 6 steps, seed 42):
-# int8 42.5, w8a8 35.0, int4 19.6, w4a8 19.4 dB (tools/quant_quality.py,
-# round 3). Floors sit ~4 dB under measurement so real regressions trip,
-# deterministic-rerun noise does not.
-FLOORS = {"int8": 38.0, "w8a8": 31.0, "int4": 15.0, "w4a8": 15.0}
+# int8 42.5, w8a8 35.0, int4 19.6, w4a8 19.4, int4-mixed 24.0,
+# w4a8-mixed 23.9 dB (tools/quant_quality.py, round 3). Floors sit ~4 dB
+# under measurement so real regressions trip, deterministic-rerun noise
+# does not — except the mixed modes, pinned at 20.0 dB because clearing the
+# reference's e2e convention is exactly the claim the serving config makes.
+FLOORS = {
+    "int8": 38.0, "w8a8": 31.0, "int4": 15.0, "w4a8": 15.0,
+    "int4-mixed": 20.0, "w4a8-mixed": 20.0,
+}
 
 _ROOT = os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR")
 
