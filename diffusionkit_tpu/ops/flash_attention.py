@@ -64,7 +64,10 @@ def _flash_kernel(
     s = s * scale
 
     # Mask padded kv positions (only the trailing tiles are ever partial).
-    col = ki * kv_blk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # (1, kv_blk) row iota broadcast into the select — not a full
+    # (q_blk, kv_blk) index matrix (the compare would cost a full VPU pass
+    # over the score tile).
+    col = ki * kv_blk + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
     s = jnp.where(col < vlen_ref[0], s, NEG_INF)
 
     m_prev = m_ref[:, 0:1]
@@ -175,33 +178,46 @@ def _flash_kernel_bshd(
     k_ref,  # VMEM (1, kv_blk, pack*d)
     v_ref,  # VMEM (1, kv_blk, pack*d)
     o_ref,  # VMEM (1, q_blk, pack*d)
-    m_ref,  # VMEM (q_blk, pack*d) fp32 — running max, one d-wide segment/head
-    l_ref,  # VMEM (q_blk, pack*d) fp32 — running denominator, segmented
-    acc_ref,  # VMEM (q_blk, pack*d) fp32 — running numerator, segmented
-    *,
+    *scratch,  # streaming mode only: m, l, acc VMEM (q_blk, pack*d) fp32
     scale: float,
     kv_blk: int,
     d_head: int,
     pack: int,
+    single_tile: bool,
+    need_mask: bool,
 ):
     """bshd flash body. For head dims below the 128-lane tile (d=64 models)
     each program packs ``pack = 128 // d`` heads into one lane-aligned block
     and runs their online softmax side by side in column segments — the
     block shape stays legal under Mosaic's last-two-dims rule without ever
-    materialising a (B,H,S,D) transpose."""
-    ki = pl.program_id(3)
-    num_kv = pl.num_programs(3)
+    materialising a (B,H,S,D) transpose.
 
-    @pl.when(ki == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    VPU economy (the kernel is softmax-bound at short sequences — the SD3
+    512² shape measured 26 TFLOP/s before these): the mask is a (1, kv_blk)
+    row broadcast into the select instead of a full (q_blk, kv_blk)
+    iota+compare; ``need_mask=False`` (sequence already a kv_blk multiple,
+    e.g. FLUX 1024²'s s=4352) drops the select entirely; ``scale`` rides the
+    exp argument ``(s - m) * scale`` — an FMA in the pass that already
+    subtracts m — instead of a standalone multiply over the score matrix;
+    and ``single_tile=True`` (one kv program: the whole sequence fits the
+    score budget) is a straight softmax with no m/l/acc scratch, no init
+    pass and no rescale."""
+    if not single_tile:
+        m_ref, l_ref, acc_ref = scratch
+        ki = pl.program_id(3)
+        num_kv = pl.num_programs(3)
 
-    col = ki * kv_blk + jax.lax.broadcasted_iota(
-        jnp.int32, (q_ref.shape[1], kv_blk), 1
-    )
-    valid = col < vlen_ref[0]
+        @pl.when(ki == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+    else:
+        ki = 0
+
+    if need_mask:
+        col = ki * kv_blk + jax.lax.broadcasted_iota(jnp.int32, (1, kv_blk), 1)
+        valid = col < vlen_ref[0]
 
     for j in range(pack):
         sl = slice(j * d_head, (j + 1) * d_head)
@@ -211,14 +227,26 @@ def _flash_kernel_bshd(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = jnp.where(valid, s * scale, NEG_INF)
+        if need_mask:
+            s = jnp.where(valid, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        if single_tile:
+            p = jnp.exp((s - m_cur) * scale)
+            l_new = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = (pv / l_new).astype(o_ref.dtype)
+            continue
 
         m_prev = m_ref[:, j * d_head : j * d_head + 1]
         l_prev = l_ref[:, j * d_head : j * d_head + 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        # m is stored UNSCALED; the scale folds into every exp argument.
+        alpha = jnp.exp((m_prev - m_new) * scale)
+        p = jnp.exp((s - m_new) * scale)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         pv = jax.lax.dot_general(
@@ -229,13 +257,14 @@ def _flash_kernel_bshd(
         m_ref[:, sl] = jnp.broadcast_to(m_new, (m_new.shape[0], d_head))
         l_ref[:, sl] = jnp.broadcast_to(l_new, (l_new.shape[0], d_head))
 
-    @pl.when(ki == num_kv - 1)
-    def _finalize():
-        for j in range(pack):
-            sl = slice(j * d_head, (j + 1) * d_head)
-            o_ref[0, :, sl] = (
-                acc_ref[:, sl] / l_ref[:, j * d_head : j * d_head + 1]
-            ).astype(o_ref.dtype)
+    if not single_tile:
+        @pl.when(ki == num_kv - 1)
+        def _finalize():
+            for j in range(pack):
+                sl = slice(j * d_head, (j + 1) * d_head)
+                o_ref[0, :, sl] = (
+                    acc_ref[:, sl] / l_ref[:, j * d_head : j * d_head + 1]
+                ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -286,8 +315,10 @@ def flash_attention_bshd(
     sq, sk = q.shape[1], k.shape[1]
 
     grid = (b, h // pack, sq // q_blk, sk // kv_blk)
+    single_tile = sk == kv_blk
     kernel = functools.partial(
-        _flash_kernel_bshd, scale=scale, kv_blk=kv_blk, d_head=d, pack=pack
+        _flash_kernel_bshd, scale=scale, kv_blk=kv_blk, d_head=d, pack=pack,
+        single_tile=single_tile, need_mask=orig_s < sk,
     )
     vlen = jnp.array([orig_s], dtype=jnp.int32)
 
@@ -302,7 +333,7 @@ def flash_attention_bshd(
                 pl.BlockSpec((1, kv_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, ki, hi)),
             ],
             out_specs=pl.BlockSpec((1, q_blk, bw), lambda bi, hi, qi, ki, vlen: (bi, qi, hi)),
-            scratch_shapes=[
+            scratch_shapes=[] if single_tile else [
                 # m/l sized to the block width: the kernel writes d-wide
                 # segments per packed head, so bw (not 128) is required when
                 # a single head spans more than one lane tile (d=256).

@@ -288,6 +288,41 @@ def test_flash_attention_bshd_matches_bhsd():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_flash_attention_bshd_static_variants():
+    """Pin the three static kernel specializations against XLA SDPA:
+    single kv tile with tail masking (s not a block multiple), single kv
+    tile with NO masking (s exactly the kv block — the FLUX 1024² s=4352
+    case, where the select is compiled out), and streaming kv tiles with
+    the running-stat rescale (scale folded into the exp argument)."""
+    from diffusionkit_tpu.ops.flash_attention import flash_attention_bshd
+
+    rs = np.random.RandomState(13)
+    scale = 128**-0.5
+    for s, q_blk, kv_blk in (
+        (300, 384, 384),   # single tile, masked tail
+        (256, 128, 256),   # single tile, no mask
+        (300, 128, 128),   # streaming, masked
+    ):
+        q = rs.randn(1, s, 3, 128).astype(np.float32)
+        k = rs.randn(1, s, 3, 128).astype(np.float32)
+        v = rs.randn(1, s, 3, 128).astype(np.float32)
+        want = np.asarray(
+            xla_sdpa(
+                jnp.asarray(q.transpose(0, 2, 1, 3)),
+                jnp.asarray(k.transpose(0, 2, 1, 3)),
+                jnp.asarray(v.transpose(0, 2, 1, 3)),
+                scale,
+            )
+        ).transpose(0, 2, 1, 3)
+        got = np.asarray(
+            flash_attention_bshd(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                scale=scale, q_blk=q_blk, kv_blk=kv_blk, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3, err_msg=str(s))
+
+
 def test_flash_attention_bshd_packed_d64():
     """d=64: two heads pack per 128-lane block (SD3/SD3.5 head dim)."""
     from diffusionkit_tpu.ops.flash_attention import (
