@@ -112,6 +112,11 @@ AUX_FILES = {
     "tokenizer_g_vocab": "tokenizer_g/vocab.json",
     "tokenizer_g_merges": "tokenizer_g/merges.txt",
     "t5": "t5/t5xxl.safetensors",
+    # Generic-autoencoder rows (reference load_autoencoder reads
+    # _MODELS[key]["vae_config"] / ["vae"], model_io.py:831,850 — keys its own
+    # registry never defines; defined here so the loader actually works).
+    "vae_config": "vae/config.json",
+    "vae": "vae/diffusion_pytorch_model.safetensors",
 }
 
 T5_MAX_LENGTH = {
@@ -789,6 +794,154 @@ def vae_encoder_params_from_ckpt(
     p["conv_norm_out"] = _norm(sd, "norm_out", dtype)
     p["conv_out"] = _conv(sd, "conv_out", dtype)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Generic autoencoder mapper (HF diffusers AutoencoderKL namespace)
+# ---------------------------------------------------------------------------
+
+
+def _lin_or_1x1(sd, key, dtype) -> Params:
+    """A projection stored either as a torch Linear (out, in) or a 1x1 Conv2d
+    (out, in, 1, 1) -> {"kernel": (in, out)}. Diffusers attention projections
+    changed from conv to linear across versions; the reference squeezes the
+    conv form (reference model_io.py:664-671)."""
+    w = np.asarray(sd[key + ".weight"])
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    return _lin_from(w, sd.get(key + ".bias"), dtype)
+
+
+def _vae_resnet_diffusers(sd, prefix, dtype) -> Params:
+    p = {
+        "norm1": _norm(sd, prefix + ".norm1", dtype),
+        "conv1": _conv(sd, prefix + ".conv1", dtype),
+        "norm2": _norm(sd, prefix + ".norm2", dtype),
+        "conv2": _conv(sd, prefix + ".conv2", dtype),
+    }
+    if prefix + ".conv_shortcut.weight" in sd:
+        p["conv_shortcut"] = _lin_or_1x1(sd, prefix + ".conv_shortcut", dtype)
+    return p
+
+
+def _vae_attn_diffusers(sd, prefix, dtype) -> Params:
+    # to_q/to_k/to_v/to_out.0 (modern diffusers) with the legacy
+    # query/key/value/proj_attn spelling as fallback.
+    modern = prefix + ".to_q.weight" in sd
+    names = (
+        ("to_q", "to_k", "to_v", "to_out.0") if modern
+        else ("query", "key", "value", "proj_attn")
+    )
+    return {
+        "group_norm": _norm(sd, prefix + ".group_norm", dtype),
+        "query_proj": _lin_or_1x1(sd, f"{prefix}.{names[0]}", dtype),
+        "key_proj": _lin_or_1x1(sd, f"{prefix}.{names[1]}", dtype),
+        "value_proj": _lin_or_1x1(sd, f"{prefix}.{names[2]}", dtype),
+        "out_proj": _lin_or_1x1(sd, f"{prefix}.{names[3]}", dtype),
+    }
+
+
+def autoencoder_params_from_diffusers_ckpt(
+    sd: Dict[str, np.ndarray], config: "AutoencoderConfig", dtype=jnp.float32
+) -> Params:
+    """HF diffusers AutoencoderKL checkpoint -> generic autoencoder pytree
+    (reference model_io.py:639-677 map_vae_weights + 826-855 load_autoencoder).
+
+    Layout notes: diffusers decoder up_blocks apply in storage order
+    (index 0 = lowest resolution, straight after the mid block); the pytree
+    convention here (models/vae.apply_vae_decoder) stores up_blocks
+    outermost-resolution-first and applies them reversed, so the list is
+    flipped at map time. quant/post_quant 1x1 convs become linears
+    (reference model_io.py:664-667)."""
+    n_blocks = len(config.block_out_channels)
+
+    def enc_block(i: int) -> Params:
+        pre = f"encoder.down_blocks.{i}"
+        bp: Params = {
+            "resnets": [
+                _vae_resnet_diffusers(sd, f"{pre}.resnets.{j}", dtype)
+                for j in range(config.layers_per_block)
+            ]
+        }
+        if f"{pre}.downsamplers.0.conv.weight" in sd:
+            bp["downsample"] = _conv(sd, f"{pre}.downsamplers.0.conv", dtype)
+        return bp
+
+    def dec_block(i: int) -> Params:
+        pre = f"decoder.up_blocks.{i}"
+        bp: Params = {
+            "resnets": [
+                _vae_resnet_diffusers(sd, f"{pre}.resnets.{j}", dtype)
+                for j in range(config.layers_per_block + 1)
+            ]
+        }
+        if f"{pre}.upsamplers.0.conv.weight" in sd:
+            bp["upsample"] = _conv(sd, f"{pre}.upsamplers.0.conv", dtype)
+        return bp
+
+    def mid(side: str) -> list:
+        return [
+            _vae_resnet_diffusers(sd, f"{side}.mid_block.resnets.0", dtype),
+            _vae_attn_diffusers(sd, f"{side}.mid_block.attentions.0", dtype),
+            _vae_resnet_diffusers(sd, f"{side}.mid_block.resnets.1", dtype),
+        ]
+
+    encoder: Params = {
+        "conv_in": _conv(sd, "encoder.conv_in", dtype),
+        "down_blocks": [enc_block(i) for i in range(n_blocks)],
+        "mid_blocks": mid("encoder"),
+        "conv_norm_out": _norm(sd, "encoder.conv_norm_out", dtype),
+        "conv_out": _conv(sd, "encoder.conv_out", dtype),
+    }
+    decoder: Params = {
+        "conv_in": _conv(sd, "decoder.conv_in", dtype),
+        # Flip: apply_vae_decoder iterates reversed(up_blocks).
+        "up_blocks": [dec_block(i) for i in reversed(range(n_blocks))],
+        "mid_blocks": mid("decoder"),
+        "conv_norm_out": _norm(sd, "decoder.conv_norm_out", dtype),
+        "conv_out": _conv(sd, "decoder.conv_out", dtype),
+    }
+    return {
+        "encoder": encoder,
+        "decoder": decoder,
+        "quant_proj": _lin_or_1x1(sd, "quant_conv", dtype),
+        "post_quant_proj": _lin_or_1x1(sd, "post_quant_conv", dtype),
+    }
+
+
+def load_autoencoder(
+    key: str = AUX_REPO, dtype=jnp.float32
+) -> Tuple[Params, "AutoencoderConfig"]:
+    """Config-driven generic SD autoencoder loader (reference
+    model_io.py:826-855 ``load_autoencoder``).
+
+    Reads the HF-diffusers ``vae/config.json`` + weights under ``key`` and
+    builds the generic models/vae autoencoder. The reference function is dead
+    code against its own registry (its ``_MODELS`` carries no "vae"/
+    "vae_config" entries, so it KeyErrors for every key) but it IS exported
+    public API; here the registry rows exist (AUX_FILES) and the loader
+    works. The reference forces ``latent_channels = 16`` before building the
+    config (model_io.py:836) — preserved.
+    """
+    from .config import AutoencoderConfig
+
+    with open(_resolve(key, AUX_FILES["vae_config"], None)) as f:
+        cfg = json.load(f)
+    cfg["latent_channels"] = 16
+    config = AutoencoderConfig(
+        in_channels=cfg["in_channels"],
+        out_channels=cfg["out_channels"],
+        latent_channels_out=2 * cfg["latent_channels"],
+        latent_channels_in=cfg["latent_channels"],
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg["layers_per_block"],
+        norm_num_groups=cfg["norm_num_groups"],
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+    sd = load_safetensors(_resolve(key, AUX_FILES["vae"], None))
+    return jax.device_put(
+        autoencoder_params_from_diffusers_ckpt(sd, config, dtype)
+    ), config
 
 
 # ---------------------------------------------------------------------------

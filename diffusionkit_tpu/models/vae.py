@@ -11,13 +11,14 @@ Parameter layout per conv: {"kernel": (kh, kw, in, out), "bias": (out,)}.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import math
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import VAEDecoderConfig, VAEEncoderConfig
+from ..config import AutoencoderConfig, VAEDecoderConfig, VAEEncoderConfig
 from ..ops.common import linear
 from ..ops.norms import group_norm
 
@@ -127,6 +128,92 @@ def apply_vae_encoder(
         group_norm(x, params["conv_norm_out"]["weight"], params["conv_norm_out"]["bias"], g)
     )
     return conv2d(params["conv_out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Generic SD autoencoder (reference vae.py:152-334: Encoder/Decoder/Autoencoder)
+# ---------------------------------------------------------------------------
+#
+# The generic `Autoencoder` is exported public API in the reference (it has no
+# in-tree caller — the SD3/FLUX pipelines use the specialised VAEDecoder /
+# VAEEncoder above — but users of the package can reach it). Same encoder /
+# decoder topology as the specialised classes, plus the 1x1 quant projections
+# and the scaling-factor latent convention, so the functional applies below
+# simply re-dress AutoencoderConfig as the encoder/decoder configs.
+# Reference quirks preserved: the decoder runs layers_per_block + 1 resnets
+# per block (reference vae.py:303: `config.layers_per_block + 1`), and
+# `encode` folds the scaling factor into (mean, logvar) while `decode`
+# divides it back out (reference vae.py:312-326).
+
+
+def _autoencoder_enc_config(config: AutoencoderConfig) -> VAEEncoderConfig:
+    return VAEEncoderConfig(
+        in_channels=config.in_channels,
+        out_channels=config.latent_channels_out,
+        block_out_channels=tuple(config.block_out_channels),
+        layers_per_block=config.layers_per_block,
+        resnet_groups=config.norm_num_groups,
+    )
+
+
+def _autoencoder_dec_config(config: AutoencoderConfig) -> VAEDecoderConfig:
+    return VAEDecoderConfig(
+        in_channels=config.latent_channels_in,
+        out_channels=config.out_channels,
+        block_out_channels=tuple(config.block_out_channels),
+        layers_per_block=config.layers_per_block + 1,
+        resnet_groups=config.norm_num_groups,
+    )
+
+
+def autoencoder_encode(
+    params: Params, x: jnp.ndarray, config: AutoencoderConfig = AutoencoderConfig()
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RGB -> (mean, logvar), scaling factor folded in (reference vae.py:316-324)."""
+    h = apply_vae_encoder(params["encoder"], x, _autoencoder_enc_config(config))
+    h = linear(params["quant_proj"], h)
+    mean, logvar = jnp.split(h, 2, axis=-1)
+    mean = mean * config.scaling_factor
+    logvar = logvar + 2.0 * math.log(config.scaling_factor)
+    return mean, logvar
+
+
+def autoencoder_decode(
+    params: Params, z: jnp.ndarray, config: AutoencoderConfig = AutoencoderConfig()
+) -> jnp.ndarray:
+    """Latent -> RGB (reference vae.py:312-314)."""
+    z = z / config.scaling_factor
+    return apply_vae_decoder(
+        params["decoder"], linear(params["post_quant_proj"], z),
+        _autoencoder_dec_config(config),
+    )
+
+
+def apply_autoencoder(
+    params: Params,
+    x: jnp.ndarray,
+    key: jax.Array,
+    config: AutoencoderConfig = AutoencoderConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Full roundtrip with reparameterised sampling (reference vae.py:328-333)."""
+    mean, logvar = autoencoder_encode(params, x, config)
+    z = jax.random.normal(key, mean.shape, mean.dtype) * jnp.exp(0.5 * logvar) + mean
+    return {"x_hat": autoencoder_decode(params, z, config), "z": z,
+            "mean": mean, "logvar": logvar}
+
+
+def init_autoencoder_params(
+    key: jax.Array, config: AutoencoderConfig = AutoencoderConfig(), dtype=jnp.float32
+) -> Params:
+    ke, kd, kq, kp = jax.random.split(key, 4)
+    return {
+        "encoder": init_vae_encoder_params(ke, _autoencoder_enc_config(config), dtype),
+        "decoder": init_vae_decoder_params(kd, _autoencoder_dec_config(config), dtype),
+        "quant_proj": _init_lin(kq, config.latent_channels_out,
+                                config.latent_channels_out, dtype),
+        "post_quant_proj": _init_lin(kp, config.latent_channels_in,
+                                     config.latent_channels_in, dtype),
+    }
 
 
 # ---------------------------------------------------------------------------

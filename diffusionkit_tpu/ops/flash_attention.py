@@ -201,7 +201,14 @@ def _flash_kernel_bshd(
     subtracts m — instead of a standalone multiply over the score matrix;
     and ``single_tile=True`` (one kv program: the whole sequence fits the
     score budget) is a straight softmax with no m/l/acc scratch, no init
-    pass and no rescale."""
+    pass and no rescale. Measured after: the gains are KERNEL-LOCAL and
+    within noise at the full-step level (BENCH_r02 37.18 -> BENCH_r03
+    37.9 ms/step, i.e. no end-to-end win at SD3 512²; kept because the
+    masked long-seq shapes do benefit and nothing regressed).
+
+    Precondition: ``scale > 0``. Masking relies on ``exp((NEG_INF - m) *
+    scale)`` underflowing to zero, which flips sign for negative scale
+    (asserted statically in flash_attention_bshd)."""
     if not single_tile:
         m_ref, l_ref, acc_ref = scratch
         ki = pl.program_id(3)
@@ -294,6 +301,9 @@ def flash_attention_bshd(
     compute instead of the materialised-transpose fallback the odd count
     previously forced (VERDICT round 2, Weak #6)."""
     b, s, h, d = q.shape
+    # Masked columns underflow via exp((NEG_INF - m) * scale); scale <= 0
+    # would silently let padded kv columns dominate (see _flash_kernel_bshd).
+    assert scale > 0, f"flash_attention_bshd requires scale > 0, got {scale}"
     pack = 1 if d % 128 == 0 else 128 // d
     assert d * pack >= 128 and (d % 128 == 0 or 128 % d == 0), d
     h_orig = h

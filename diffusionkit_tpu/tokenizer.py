@@ -172,6 +172,14 @@ class T5TokenizerWrapper:
             )["input_ids"]
         )
 
+    def decode(self, t: List[int], with_sep: bool = True) -> str:
+        """ids -> text by sentencepiece-token joining, ``▁`` as the separator
+        (reference tokenizer.py:155-157)."""
+        tokens = self._tok.convert_ids_to_tokens(t)
+        return "".join(
+            tok.replace("▁", " " if with_sep else "") for tok in tokens
+        )
+
 
 def tokenize_batch(
     tokenizer,

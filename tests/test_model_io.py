@@ -459,3 +459,189 @@ def test_save_load_params_roundtrip(tmp_path):
         np.asarray(apply_mmdit(jax.device_put(back), TINY_SD3, *args)),
         atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic autoencoder (reference vae.py:152-334 + model_io.py:826-855)
+# ---------------------------------------------------------------------------
+
+TINY_AE_CFG = dict(
+    in_channels=3, out_channels=3, latent_channels_out=8, latent_channels_in=4,
+    block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4,
+    scaling_factor=0.13025,
+)
+
+
+def _ae_to_diffusers_sd(params, n_blocks, layers_enc, layers_dec):
+    """Inverse of autoencoder_params_from_diffusers_ckpt: emit an HF-diffusers
+    AutoencoderKL state dict from a pytree, so mapping it back must reproduce
+    the tree exactly (pins every transpose, the decoder up_blocks flip, and
+    the 1x1-conv squeeze)."""
+    sd = {}
+
+    def conv(key, p):
+        sd[key + ".weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        sd[key + ".bias"] = np.asarray(p["bias"])
+
+    def lin(key, p, as_conv=False):
+        w = np.asarray(p["kernel"]).T
+        sd[key + ".weight"] = w[:, :, None, None] if as_conv else w
+        if p.get("bias") is not None:
+            sd[key + ".bias"] = np.asarray(p["bias"])
+
+    def norm(key, p):
+        sd[key + ".weight"] = np.asarray(p["weight"])
+        sd[key + ".bias"] = np.asarray(p["bias"])
+
+    def resnet(key, p):
+        norm(key + ".norm1", p["norm1"])
+        conv(key + ".conv1", p["conv1"])
+        norm(key + ".norm2", p["norm2"])
+        conv(key + ".conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            lin(key + ".conv_shortcut", p["conv_shortcut"], as_conv=True)
+
+    def attn(key, p):
+        norm(key + ".group_norm", p["group_norm"])
+        lin(key + ".to_q", p["query_proj"])
+        lin(key + ".to_k", p["key_proj"])
+        lin(key + ".to_v", p["value_proj"])
+        lin(key + ".to_out.0", p["out_proj"])
+
+    def mid(side, blocks):
+        resnet(f"{side}.mid_block.resnets.0", blocks[0])
+        attn(f"{side}.mid_block.attentions.0", blocks[1])
+        resnet(f"{side}.mid_block.resnets.1", blocks[2])
+
+    enc = params["encoder"]
+    conv("encoder.conv_in", enc["conv_in"])
+    for i, bp in enumerate(enc["down_blocks"]):
+        for j, rp in enumerate(bp["resnets"]):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", rp)
+        if "downsample" in bp:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", bp["downsample"])
+    mid("encoder", enc["mid_blocks"])
+    norm("encoder.conv_norm_out", enc["conv_norm_out"])
+    conv("encoder.conv_out", enc["conv_out"])
+
+    dec = params["decoder"]
+    conv("decoder.conv_in", dec["conv_in"])
+    mid("decoder", dec["mid_blocks"])
+    # pytree stores up_blocks outermost-first (applied reversed); diffusers
+    # stores them in application order -> flip back.
+    for i, bp in enumerate(reversed(dec["up_blocks"])):
+        for j, rp in enumerate(bp["resnets"]):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", rp)
+        if "upsample" in bp:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", bp["upsample"])
+    norm("decoder.conv_norm_out", dec["conv_norm_out"])
+    conv("decoder.conv_out", dec["conv_out"])
+
+    lin("quant_conv", params["quant_proj"], as_conv=True)
+    lin("post_quant_conv", params["post_quant_proj"], as_conv=True)
+    return sd
+
+
+def test_autoencoder_diffusers_mapper_roundtrip():
+    """Map(inverse-map(tree)) == tree, and the mapped model runs e2e."""
+    from diffusionkit_tpu.config import AutoencoderConfig
+    from diffusionkit_tpu.model_io import autoencoder_params_from_diffusers_ckpt
+    from diffusionkit_tpu.models import apply_autoencoder, init_autoencoder_params
+
+    config = AutoencoderConfig(**TINY_AE_CFG)
+    params = init_autoencoder_params(jax.random.PRNGKey(0), config, jnp.float32)
+    sd = _ae_to_diffusers_sd(
+        params, len(config.block_out_channels),
+        config.layers_per_block, config.layers_per_block + 1,
+    )
+    back = autoencoder_params_from_diffusers_ckpt(sd, config, jnp.float32)
+
+    want = jax.tree.leaves(params)
+    got = jax.tree.leaves(back)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-7)
+
+    x = jnp.asarray(_rs.randn(1, 16, 16, 3).astype(np.float32))
+    out = apply_autoencoder(jax.device_put(back), x, jax.random.PRNGKey(1), config)
+    assert out["x_hat"].shape == (1, 16, 16, 3)
+    # one downsampling block pair -> latent at half resolution
+    assert out["z"].shape == (1, 8, 8, config.latent_channels_in)
+    assert out["mean"].shape == out["logvar"].shape == out["z"].shape
+    for v in out.values():
+        assert jnp.isfinite(v).all()
+
+
+def test_autoencoder_scaling_factor_roundtrip():
+    """encode folds the scaling factor into (mean, logvar); decode divides it
+    out (reference vae.py:312-326): decode(encode-mean) must be invariant to
+    the scaling factor choice."""
+    from diffusionkit_tpu.config import AutoencoderConfig
+    from diffusionkit_tpu.models import (
+        autoencoder_decode,
+        autoencoder_encode,
+        init_autoencoder_params,
+    )
+
+    c1 = AutoencoderConfig(**TINY_AE_CFG)
+    c2 = AutoencoderConfig(**{**TINY_AE_CFG, "scaling_factor": 1.0})
+    params = init_autoencoder_params(jax.random.PRNGKey(2), c1, jnp.float32)
+    x = jnp.asarray(_rs.randn(1, 16, 16, 3).astype(np.float32))
+    m1, lv1 = autoencoder_encode(params, x, c1)
+    m2, lv2 = autoencoder_encode(params, x, c2)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2) * c1.scaling_factor, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lv1), np.asarray(lv2) + 2 * np.log(c1.scaling_factor), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(autoencoder_decode(params, m1, c1)),
+        np.asarray(autoencoder_decode(params, m2, c2)),
+        atol=1e-5,
+    )
+
+
+def test_load_autoencoder_local_mirror(tmp_path, monkeypatch):
+    """load_autoencoder end-to-end from a fabricated local HF-diffusers VAE
+    (config.json + safetensors under <root>/argmaxinc/stable-diffusion/vae/),
+    mirroring reference model_io.py:826-855 — including its forced
+    latent_channels = 16."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from diffusionkit_tpu.config import AutoencoderConfig
+    from diffusionkit_tpu.model_io import load_autoencoder
+    from diffusionkit_tpu.models import init_autoencoder_params
+
+    cfg = dict(TINY_AE_CFG, latent_channels_out=32, latent_channels_in=16)
+    config = AutoencoderConfig(**cfg)
+    params = init_autoencoder_params(jax.random.PRNGKey(3), config, jnp.float32)
+    sd = _ae_to_diffusers_sd(
+        params, len(config.block_out_channels),
+        config.layers_per_block, config.layers_per_block + 1,
+    )
+    vae_dir = tmp_path / "argmaxinc/stable-diffusion/vae"
+    vae_dir.mkdir(parents=True)
+    with open(vae_dir / "config.json", "w") as f:
+        _json.dump(
+            {
+                "in_channels": 3, "out_channels": 3,
+                "latent_channels": 4,  # loader must override to 16
+                "block_out_channels": list(config.block_out_channels),
+                "layers_per_block": config.layers_per_block,
+                "norm_num_groups": config.norm_num_groups,
+                "scaling_factor": 0.13025,
+            },
+            f,
+        )
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+              str(vae_dir / "diffusion_pytorch_model.safetensors"))
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_CKPT_DIR", str(tmp_path))
+    loaded, lconfig = load_autoencoder()
+    assert lconfig.latent_channels_in == 16 and lconfig.latent_channels_out == 32
+    assert lconfig.scaling_factor == 0.13025
+    want = jax.tree.leaves(params)
+    got = jax.tree.leaves(loaded)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-7)

@@ -292,20 +292,23 @@ def test_flash_attention_bshd_static_variants():
     """Pin the three static kernel specializations against XLA SDPA:
     single kv tile with tail masking (s not a block multiple), single kv
     tile with NO masking (s exactly the kv block — the FLUX 1024² s=4352
-    case, where the select is compiled out), and streaming kv tiles with
-    the running-stat rescale (scale folded into the exp argument)."""
+    case, where the select is compiled out), streaming kv tiles with
+    the running-stat rescale (scale folded into the exp argument), and the
+    single-tile path at d=64/pack=2 — SD3's production route (auto blocks
+    1280/1280 at s=1178) exercising the per-segment o_ref writes."""
     from diffusionkit_tpu.ops.flash_attention import flash_attention_bshd
 
     rs = np.random.RandomState(13)
-    scale = 128**-0.5
-    for s, q_blk, kv_blk in (
-        (300, 384, 384),   # single tile, masked tail
-        (256, 128, 256),   # single tile, no mask
-        (300, 128, 128),   # streaming, masked
+    for s, d, q_blk, kv_blk in (
+        (300, 128, 384, 384),   # single tile, masked tail
+        (256, 128, 128, 256),   # single tile, no mask
+        (300, 128, 128, 128),   # streaming, masked
+        (300, 64, 384, 384),    # single tile, masked, pack=2 (SD3 d=64)
     ):
-        q = rs.randn(1, s, 3, 128).astype(np.float32)
-        k = rs.randn(1, s, 3, 128).astype(np.float32)
-        v = rs.randn(1, s, 3, 128).astype(np.float32)
+        scale = d**-0.5
+        q = rs.randn(1, s, 3, d).astype(np.float32)
+        k = rs.randn(1, s, 3, d).astype(np.float32)
+        v = rs.randn(1, s, 3, d).astype(np.float32)
         want = np.asarray(
             xla_sdpa(
                 jnp.asarray(q.transpose(0, 2, 1, 3)),

@@ -136,3 +136,39 @@ def test_fuzz_matches_transformers(vocab_files):
         want = hf(text)["input_ids"]
         got = ours.tokenize(text)
         assert got == want, (repr(text), got, want)
+
+
+def test_t5_decode_sentencepiece_joining(tmp_path):
+    """T5TokenizerWrapper.decode: ▁-joining semantics (reference
+    tokenizer.py:155-157) — token strings concatenated with ▁ mapped to a
+    space (with_sep=True) or dropped (with_sep=False), specials untouched."""
+    import json as _json
+
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from diffusionkit_tpu.tokenizer import T5TokenizerWrapper
+
+    words = ["<pad>", "</s>", "<unk>", "▁the", "▁cat", "▁in", "▁a", "▁hat"]
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    from tokenizers import processors
+
+    tok.post_processor = processors.TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 1)]
+    )
+    tdir = tmp_path / "t5tok"
+    tdir.mkdir()
+    tok.save(str(tdir / "tokenizer.json"))
+    with open(tdir / "tokenizer_config.json", "w") as f:
+        _json.dump({
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "unk_token": "<unk>", "eos_token": "</s>", "pad_token": "<pad>",
+            "model_max_length": 32,
+        }, f)
+
+    wrapper = T5TokenizerWrapper(str(tdir), max_length=32)
+    ids = wrapper.tokenize("the cat in a hat")
+    assert ids[-1] == 1  # </s>
+    assert wrapper.decode(ids) == " the cat in a hat</s>"
+    assert wrapper.decode(ids, with_sep=False) == "thecatinahat</s>"
