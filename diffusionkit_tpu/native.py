@@ -73,6 +73,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.dk_quantize_int4.restype = None
         except AttributeError:
             pass
+        try:  # absent in pre-ALS builds of the .so
+            lib.dk_quantize_int4_als.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.dk_quantize_int4_als.restype = None
+        except AttributeError:
+            pass
         _lib = lib
     except OSError as e:
         logger.debug("libdkio load failed: %s", e)
@@ -124,6 +133,34 @@ def quantize_int4(w: np.ndarray, group_size: int):
         scales.ctypes.data_as(ctypes.c_void_p),
         zeros.ctypes.data_as(ctypes.c_void_p),
     )
+    return {"q4": packed, "scales": scales, "zeros": zeros}
+
+
+def quantize_int4_als(w: np.ndarray, group_size: int, iters: int = 8,
+                      f16_grid: bool = True):
+    """Refined (alternating-least-squares) affine int4 group quantization —
+    native/dkio.cpp dk_quantize_int4_als. With ``f16_grid`` the winning
+    scales/zeros are rounded to IEEE half (the storage dtype) before the
+    final requantize, and are returned as float16 arrays. Returns None when
+    the native lib is unavailable (caller uses the numpy implementation)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dk_quantize_int4_als"):
+        return None
+    in_dim, out_dim = w.shape
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    packed = np.empty((in_dim // 8, out_dim), np.uint32)
+    scales = np.empty((in_dim // group_size, out_dim), np.float32)
+    zeros = np.empty_like(scales)
+    lib.dk_quantize_int4_als(
+        w.ctypes.data_as(ctypes.c_void_p), in_dim, out_dim, group_size,
+        iters, int(f16_grid),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+        zeros.ctypes.data_as(ctypes.c_void_p),
+    )
+    if f16_grid:  # values are already half-rounded; the cast is lossless
+        scales = scales.astype(np.float16)
+        zeros = zeros.astype(np.float16)
     return {"q4": packed, "scales": scales, "zeros": zeros}
 
 

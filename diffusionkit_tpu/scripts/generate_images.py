@@ -103,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
              "better fidelity when quantizing a float checkpoint",
     )
     parser.add_argument(
-        "--quantize-group-size", type=int, default=64,
+        "--quantize-group-size", type=int, default=32,
         help="Group size for quantize-at-load (32 halves the group error "
              "for ~1 extra bit/weight); pre-quantized checkpoints keep "
              "their file's group size",

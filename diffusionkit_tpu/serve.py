@@ -471,7 +471,7 @@ def main(argv=None):
     ap.add_argument("--quantize-mmdit", nargs="?", const="int4", default=None,
                     choices=["int4", "int8", "w8a8", "w4a8",
                              "int4-mixed", "w4a8-mixed"])
-    ap.add_argument("--quantize-group-size", type=int, default=64)
+    ap.add_argument("--quantize-group-size", type=int, default=32)
     ap.add_argument("--quantize-t5", action="store_true",
                     help="w8a8 T5 (4.7 GB resident instead of 9.4) — lets "
                          "12B FLUX serve with T5 resident on one 16 GB chip")

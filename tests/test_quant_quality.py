@@ -27,16 +27,20 @@ STEPS = 6
 SIZE = 256
 
 # Floors in dB vs the bf16 image at identical seed. int8-family modes track
-# bf16 closely; int4 weight grids (group-affine, g=32) cost more. Measured
-# on the mirror checkpoint at exactly this config (256², 6 steps, seed 42):
-# int8 42.5, w8a8 35.0, int4 19.6, w4a8 19.4, int4-mixed 24.0,
-# w4a8-mixed 23.9 dB (tools/quant_quality.py, round 3). Floors sit ~4 dB
-# under measurement so real regressions trip, deterministic-rerun noise
-# does not — except the mixed modes, pinned at 20.0 dB because clearing the
-# reference's e2e convention is exactly the claim the serving config makes.
+# bf16 closely; int4 weight grids cost more. Measured on the mirror
+# checkpoint at exactly this config (256², 6 steps, seed 42), round 4 —
+# ALS-refined f16-stored g=32 grid (ops/quantized.quantize_kernel_host):
+# int8 42.15, w8a8 35.03, int4 21.33, w4a8 20.94, int4-mixed 24.97,
+# w4a8-mixed 24.83 (tools/quant_quality.py; round 3's min/max g=64 grid
+# measured int4 19.6 / w4a8 19.4 — BELOW the reference convention).
+# The 4-bit modes are pinned AT the reference's 20 dB e2e golden convention
+# (reference tests/mlx/test_diffusion_pipeline.py:20): clearing it without
+# "-mixed" is the round-4 claim; generation is deterministic at fixed seed
+# on this box, so ~1 dB of margin holds. int8-family floors sit ~4 dB under
+# measurement.
 FLOORS = {
-    "int8": 38.0, "w8a8": 31.0, "int4": 15.0, "w4a8": 15.0,
-    "int4-mixed": 20.0, "w4a8-mixed": 20.0,
+    "int8": 38.0, "w8a8": 31.0, "int4": 20.0, "w4a8": 20.0,
+    "int4-mixed": 22.0, "w4a8-mixed": 22.0,
 }
 
 _ROOT = os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR")

@@ -219,9 +219,63 @@ def test_native_int4_quantizer_matches_numpy():
     orig = native.quantize_int4
     native.quantize_int4 = lambda *a, **k: None  # force the numpy path
     try:
-        want = quantize_kernel_host(w, 4, 32)
+        want = quantize_kernel_host(w, 4, 32, refine=False)
     finally:
         native.quantize_int4 = orig
     np.testing.assert_array_equal(got["q4"], np.asarray(want["q4"]))
     np.testing.assert_array_equal(got["scales"], np.asarray(want["scales"]))
     np.testing.assert_array_equal(got["zeros"], np.asarray(want["zeros"]))
+
+
+def _grid_mse(w, p, group_size):
+    from diffusionkit_tpu.ops.quantized import _dequant
+
+    deq = np.asarray(_dequant(p, jnp.float32))
+    return float(((deq - w) ** 2).mean())
+
+
+def test_refined_int4_beats_minmax():
+    """The default (ALS-refined, f16-stored) int4 grid must strictly beat the
+    min/max grid in weight MSE, stay on the affine grid contract (scales/zeros
+    shape + q4 packing unchanged), and store its grid in float16."""
+    rs = np.random.RandomState(11)
+    w = rs.randn(256, 192).astype(np.float32) * 0.03
+    base = quantize_kernel_host(w, 4, 32, refine=False)
+    ref = quantize_kernel_host(w, 4, 32)  # default: refined
+    assert ref["scales"].dtype == np.float16 and ref["zeros"].dtype == np.float16
+    assert ref["q4"].shape == base["q4"].shape
+    assert ref["scales"].shape == base["scales"].shape
+    e_base = _grid_mse(w, base, 32)
+    e_ref = _grid_mse(w, ref, 32)
+    assert e_ref < 0.95 * e_base, (e_ref, e_base)
+
+
+def test_refined_int4_native_matches_numpy_quality():
+    """Native ALS (dk_quantize_int4_als) and the numpy reference agree at the
+    float level: same-or-near MSE (accumulation order may flip occasional
+    rounding ties, so bit-parity is NOT the contract — quality is)."""
+    import pytest
+
+    from diffusionkit_tpu import native
+
+    rs = np.random.RandomState(12)
+    w = rs.randn(256, 192).astype(np.float32) * 0.03
+    got = native.quantize_int4_als(w, 32)
+    if got is None:
+        pytest.skip("native toolchain unavailable")
+    orig = native.quantize_int4_als
+    native.quantize_int4_als = lambda *a, **k: None  # force the numpy path
+    try:
+        want = quantize_kernel_host(w, 4, 32)
+    finally:
+        native.quantize_int4_als = orig
+    e_native = _grid_mse(w, got, 32)
+    e_numpy = _grid_mse(w, want, 32)
+    assert abs(e_native - e_numpy) <= 0.02 * max(e_native, e_numpy), (
+        e_native, e_numpy,
+    )
+    # Grids themselves are near-identical (f16-rounded on both sides).
+    np.testing.assert_allclose(
+        np.asarray(got["scales"], np.float32),
+        np.asarray(want["scales"], np.float32), rtol=0.02, atol=1e-6,
+    )

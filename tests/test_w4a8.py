@@ -63,10 +63,25 @@ def test_w4a8_matmul_matches_reference_int_math():
     g = q.shape[0] // p["scales"].shape[0]
     s8 = np.repeat(p["scales"] * rws, g, 0).astype(np.float32)
     z8 = np.repeat(p["zeros"] * rws, g, 0).astype(np.float32)
-    w8 = np.clip(np.round(q * s8 + z8), -127, 127).astype(np.int32)
-    acc = np.asarray(x8, np.int32) @ w8
-    want = acc.astype(np.float32) * np.asarray(xs) * wscale[None, :] + bias
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # The requant ``q * s8 + z8`` may be contracted to a hardware fma by the
+    # backend (observed on XLA CPU; the f16-stored grid makes dyadic scales,
+    # so .5 ties are systematic, not rare) or kept as mul+add (observed on
+    # TPU interpret) — emulate both roundings and accept whichever the
+    # backend chose.
+    def emulate(prod):
+        w8 = np.clip(np.round(prod), -127, 127).astype(np.int32)
+        acc = np.asarray(x8, np.int32) @ w8
+        return acc.astype(np.float32) * np.asarray(xs) * wscale[None, :] + bias
+
+    want_muladd = emulate(q * s8 + z8)
+    want_fma = emulate(
+        (q.astype(np.float64) * s8.astype(np.float64)
+         + z8.astype(np.float64)).astype(np.float32)
+    )
+    err = min(
+        np.abs(got - want_muladd).max(), np.abs(got - want_fma).max()
+    )
+    assert err < 1e-5, float(err)
 
 
 def test_w4a8_linear_close_to_int4_dequant():
