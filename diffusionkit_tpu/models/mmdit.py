@@ -153,9 +153,24 @@ def _mod(vectors: jnp.ndarray, n: int) -> List[jnp.ndarray]:
     return [p[:, None, :] for p in parts]
 
 
-def _ada(block: Params, c: jnp.ndarray, n: int) -> List[jnp.ndarray]:
-    """adaLN_modulation: SiLU -> Linear -> split (reference mmdit.py:430-435)."""
-    return _mod(linear(block["ada"], jax.nn.silu(c)), n)
+def _ada(block: Params, c: jnp.ndarray, n: int, mesh=None) -> List[jnp.ndarray]:
+    """adaLN_modulation: SiLU -> Linear -> split (reference mmdit.py:430-435).
+
+    Under a mesh the ada weights are column-sharded over ``model`` (they are
+    ~27% of FLUX's parameters — parallel/sharding._COL_PARENTS), so the raw
+    linear output is model-sharded on its last axis. Constraining it back to
+    replicated HERE makes GSPMD gather the tiny per-sample (B, n*H) vectors
+    (~74 KB/block) instead of propagating the sharding into the elementwise
+    modulation and all-gathering full (B, S, H) activations at the next
+    matmul (25 MB/block — observed without the constraint)."""
+    y = linear(block["ada"], jax.nn.silu(c))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(mesh, P("data", None))
+        )
+    return _mod(y, n)
 
 
 # ---------------------------------------------------------------------------
@@ -181,8 +196,8 @@ def _mm_block(
     keys/values but produce no output (reference mmdit.py:62-66,415-427,665-667).
     """
     eps = config.layer_norm_eps
-    img_mods = _ada(bp["img"], c, 6)
-    txt_mods = _ada(bp["txt"], c, 2 if final_skip_text else 6)
+    img_mods = _ada(bp["img"], c, 6, mesh)
+    txt_mods = _ada(bp["txt"], c, 2 if final_skip_text else 6, mesh)
 
     img_h = _mod_ln_maybe_quant(bp["img"]["q"], img, img_mods[0], img_mods[1], eps)
     txt_h = _mod_ln_maybe_quant(bp["txt"]["q"], txt, txt_mods[0], txt_mods[1], eps)
@@ -261,7 +276,7 @@ def _unified_block(
     """
     eps = config.layer_norm_eps
     n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
-    mods = _ada(bp, c, n_mod)
+    mods = _ada(bp, c, n_mod, mesh)
     h = _mod_ln_maybe_quant(bp["q"], x, mods[0], mods[1], eps)
     q, k, v = _qkv(bp, h, config)
     if rope is not None:
@@ -439,7 +454,7 @@ def _apply_mmdit_body(
         x = u[:, txt.shape[1] :]
 
     # Final layer: 2-param AdaLN + linear (reference mmdit.py:767-796).
-    shift, scale = _ada(params["final_layer"], c, 2)
+    shift, scale = _ada(params["final_layer"], c, 2, mesh)
     x = modulated_layer_norm(x, shift, scale, config.layer_norm_eps)
     x = linear(params["final_layer"]["linear"], x)
 

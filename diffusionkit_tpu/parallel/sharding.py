@@ -29,7 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Params = Dict[str, Any]
 
 # Fan-out projections: shard the OUTPUT (last) axis of the kernel and the bias.
-_COL_PARENTS = {"q", "k", "v", "fc1", "query_proj", "key_proj", "value_proj", "wi_0", "wi_1"}
+# "ada" (AdaLN modulation, hidden -> 6*hidden / 3*hidden) is here because it
+# is NOT small: modulation is ~3.2B of FLUX's 12B params (6.4 GB bf16), and
+# replicating it was measured to blow per-device HBM from 6.2 to 10.8 GB at
+# tp=4 (the full-size compile audit in __graft_entry__.fullsize_compile_stats).
+# Its input (the t/y embedding) is replicated, so the matmul is local; the
+# consumer re-gathers only the per-sample (B, 6H) modulation VECTORS —
+# ~74 KB/block, noise next to the 26 MB fan-in all-reduces.
+_COL_PARENTS = {
+    "q", "k", "v", "fc1", "query_proj", "key_proj", "value_proj",
+    "wi_0", "wi_1", "ada",
+}
 # Fan-in projections: shard the INPUT (second-to-last) axis; bias replicated.
 _ROW_PARENTS = {"o", "fc2", "out_proj", "wo"}
 

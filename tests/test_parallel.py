@@ -80,7 +80,7 @@ def test_sharding_specs_shapes():
     o = sh["mm_blocks"]["img"]["o"]["kernel"].spec
     assert o == P(None, "model", None)
     ada = sh["mm_blocks"]["img"]["ada"]["kernel"].spec
-    assert ada == P()
+    assert ada == P(None, None, "model")  # ada column-sharded (round 4)
 
 
 def test_t5_tp_matches_single_device():
@@ -144,7 +144,7 @@ def test_mixed_quantized_tp_matches_single_device():
     sh = mmdit_shardings(params, mesh)
     from jax.sharding import PartitionSpec as P2
     assert sh["mm_blocks"]["img"]["q"]["q4"].spec == P2(None, None, "model")
-    assert sh["mm_blocks"]["img"]["ada"]["q8"].spec == P2()  # replicated
+    assert sh["mm_blocks"]["img"]["ada"]["q8"].spec == P2(None, None, "model")
     assert sh["final_layer"]["linear"]["kernel"].spec == P2()
     sharded = shard_params(params, sh)
     got = np.asarray(
@@ -298,13 +298,29 @@ def test_ring_attention_flash_chunks_match_full(monkeypatch):
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def _collective_sizes(hlo, op, dtypes=("f32", "bf16", "f16", "s32", "s8")):
+    """Element counts of every ``op`` collective result in an HLO dump."""
+    import re
+
+    sizes = []
+    pat = "|".join(dtypes)
+    for shapes in re.findall(rf"%?{op}[.\d]* = \(?([^)\n]*)", hlo):
+        for dims in re.findall(rf"(?:{pat})\[([\d,]+)\]", shapes):
+            sizes.append(int(np.prod([int(d) for d in dims.split(",")])))
+    return sizes
+
+
 def test_tp_collective_pattern_in_compiled_hlo():
     """TP efficiency, not just correctness (VERDICT round 2, Weak #7): the
     compiled SPMD module must contain the Megatron pattern — a bounded
     number of activation-sized all-reduces (XLA combines the per-block
-    o/fc2 partial sums) and ZERO all-gathers (a sharding-rule regression
-    that replicates weights shows up as all-reduce count 0; one that
-    gathers weights shows up as all-gather > 0)."""
+    o/fc2 partial sums), and no collective larger than an activation.
+    Since round 4 the AdaLN modulation weights are column-sharded (they are
+    ~27% of FLUX's params), so SMALL collectives re-assembling the
+    per-sample (B, <=6H) modulation vectors are expected; anything bigger
+    gathering through all-gather is a weight/activation-gather regression.
+    Compiled exactly as the production step compiles it (mesh passed, so
+    the _ada modulation sharding constraint is active)."""
     import re
 
     config = TP_FLUX
@@ -313,26 +329,24 @@ def test_tp_collective_pattern_in_compiled_hlo():
     sharded = shard_params(params, mmdit_shardings(params, mesh))
     inputs = _mmdit_inputs(config)
     comp = (
-        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a, mesh=mesh))
         .lower(sharded, *inputs)
         .compile()
     )
     hlo = comp.as_text()
 
-    def count(op):
-        return len(re.findall(rf"%?{op}[.\d]* = ", hlo))
-
-    n_ar = count("all-reduce")
-    assert 1 <= n_ar <= 6, f"unexpected all-reduce count {n_ar}"
-    assert count("all-gather") == 0, "weights are being all-gathered"
-    assert count("all-to-all") == 0
+    mod_elems_max = 2 * 6 * config.hidden_size  # batch 2, 6 modulation rows
+    ar = _collective_sizes(hlo, "all-reduce")
+    large_ar = [n for n in ar if n > mod_elems_max]
+    assert 1 <= len(large_ar) <= 6, f"unexpected large all-reduce count: {ar}"
+    for n in _collective_sizes(hlo, "all-gather"):
+        assert n <= mod_elems_max, f"oversized all-gather: {n} elems"
+    assert len(re.findall(r"%?all-to-all[.\d]* = ", hlo)) == 0
     # Every all-reduce result is activation-sized (batch-leading), never a
     # weight gather materialised through an all-reduce trick.
     weight_elems = config.hidden_size * config.hidden_size
-    for shapes in re.findall(r"%?all-reduce[.\d]* = \(?([^)\n]*)", hlo):
-        for dims in re.findall(r"f32\[([\d,]+)\]", shapes):
-            n = int(np.prod([int(d) for d in dims.split(",")]))
-            assert n < weight_elems, f"weight-sized all-reduce: {dims}"
+    for n in ar:
+        assert n < weight_elems, f"weight-sized all-reduce: {n} elems"
 
 
 def test_tp_sharding_specs_follow_megatron_rules():
@@ -357,7 +371,9 @@ def test_tp_sharding_specs_follow_megatron_rules():
     assert leaf_spec(params, ["uni_blocks", "fc1", "kernel"]) == P(None, None, "model")
     assert leaf_spec(params, ["uni_blocks", "o", "kernel"]) == P(None, "model", None)
     assert leaf_spec(params, ["uni_blocks", "fc2", "kernel"]) == P(None, "model", None)
-    assert leaf_spec(params, ["uni_blocks", "ada", "kernel"]) == P()
+    # AdaLN is column-sharded since round 4 (it is ~27% of FLUX's params;
+    # replicating it cost 4.6 GB/device at tp=4 — __graft_entry__ audit).
+    assert leaf_spec(params, ["uni_blocks", "ada", "kernel"]) == P(None, None, "model")
 
     qparams = quantize_tree(
         jax.tree.map(np.asarray, params), bits=4, group_size=16, min_size=1
@@ -410,21 +426,19 @@ def test_tp_collective_pattern_quantized_w8a8():
     sharded = shard_params(params, mmdit_shardings(params, mesh))
     inputs = _mmdit_inputs(config)
     comp = (
-        jax.jit(lambda p, *a: apply_mmdit(p, config, *a))
+        jax.jit(lambda p, *a: apply_mmdit(p, config, *a, mesh=mesh))
         .lower(sharded, *inputs)
         .compile()
     )
     hlo = comp.as_text()
 
-    def count(op):
-        return len(re.findall(rf"%?{op}[.\d]* = ", hlo))
-
-    assert count("all-gather") == 0, "weights are being all-gathered"
-    assert count("all-to-all") == 0
-    n_ar = count("all-reduce")
-    assert 1 <= n_ar <= 16, f"unexpected all-reduce count {n_ar}"
+    mod_elems_max = 2 * 6 * config.hidden_size
+    for n in _collective_sizes(hlo, "all-gather"):
+        assert n <= mod_elems_max, f"oversized all-gather: {n} elems"
+    assert len(re.findall(r"%?all-to-all[.\d]* = ", hlo)) == 0
+    ar = _collective_sizes(hlo, "all-reduce")
+    large_ar = [n for n in ar if n > mod_elems_max]
+    assert 1 <= len(large_ar) <= 16, f"unexpected large all-reduce count: {ar}"
     weight_elems = config.hidden_size * config.hidden_size
-    for shapes in re.findall(r"%?all-reduce[.\d]* = \(?([^)\n]*)", hlo):
-        for dims in re.findall(r"(?:f32|s32|s8)\[([\d,]+)\]", shapes):
-            n = int(np.prod([int(d) for d in dims.split(",")]))
-            assert n < weight_elems, f"weight-sized all-reduce: {dims}"
+    for n in ar:
+        assert n < weight_elems, f"weight-sized all-reduce: {n} elems"
