@@ -40,9 +40,16 @@ def linear(params: Params, x: jnp.ndarray, act: str = None) -> jnp.ndarray:
     y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     if params.get("bias") is not None:
         y = y + params["bias"].astype(jnp.float32)
+    # Cast BEFORE the activation: computing the GELU in fp32 forced XLA to
+    # materialise the full fp32 fc1 output in HBM (SD3 512² profile: a
+    # 50 MB f32[2,1024,6144] tensor written by the fc1 fusion and re-read by
+    # fc2's producer — the MLP chain ran 14.5 ms/step vs 10.4 roofline).
+    # The activation feeds a bf16 matmul anyway, so bf16 GELU costs one
+    # rounding at bf16 epsilon and halves the intermediate bytes.
+    y = y.astype(x.dtype)
     if act == "gelu":
         y = jax.nn.gelu(y, approximate=False)
-    return y.astype(x.dtype)
+    return y
 
 
 def mlp_silu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
