@@ -355,3 +355,20 @@ def test_compilation_cache_floor_is_zero(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_floor)
         utils._COMPILE_CACHE_SET = False
+
+
+def test_batched_generation_denoise_autosplit(monkeypatch):
+    """The denoise-batch auto-split (1024² serving OOM guard) must produce
+    images identical to the unsplit batched path: chunks run the same jitted
+    scan on row slices whose CFG layout is preserved per chunk."""
+    pipe = build_sd3_pipeline()
+    texts = ["a cat", "a dog", "a bird"]
+    kw = dict(num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seeds=[1, 2, 3])
+
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_DENOISE_BATCH", "8")
+    whole = [np.asarray(im) for im in pipe.generate_images_batched(texts, **kw)]
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_DENOISE_BATCH", "2")
+    split = [np.asarray(im) for im in pipe.generate_images_batched(texts, **kw)]
+    assert len(whole) == len(split) == 3
+    for w, s in zip(whole, split):
+        np.testing.assert_array_equal(w, s)

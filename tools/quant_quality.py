@@ -51,6 +51,43 @@ def run(mode, steps, latent_hw):
     return np.asarray(img, np.float32), time.time() - t0
 
 
+def _install_t5_outlier_injection(n_channels: int, factor: float):
+    """Wrap model_io.load_t5_encoder so the (synthetic, Gaussian) mirror T5
+    acquires realistic heavy-tailed residual-stream outlier channels —
+    real T5-XXL carries a few channels 1-2 orders of magnitude hotter than
+    the rest, which is exactly what per-token dynamic int8 clips. Both the
+    bf16 baseline and the quantized run get the SAME injection, so the PSNR
+    between them isolates the quantization loss (VERDICT round 3, Weak #3:
+    the old 49.2 dB number was measured on outlier-free weights and was not
+    going to survive real checkpoints)."""
+    import numpy as np
+
+    from diffusionkit_tpu import model_io
+
+    orig = model_io.load_t5_encoder
+
+    def load_with_outliers(dtype, to_device=True):
+        import jax
+
+        params = orig(dtype, to_device=False)
+        d = np.asarray(params["wte"]).shape[1]
+        channels = np.random.RandomState(7).choice(d, n_channels, replace=False)
+        wte = np.array(params["wte"], copy=True)
+        wo = np.array(params["layers"]["wo"]["kernel"], copy=True)
+        for ch in channels:
+            wte[:, ch] *= np.asarray(factor, wte.dtype)
+            wo[:, :, ch] *= np.asarray(factor, wo.dtype)
+        params = dict(params)
+        params["wte"] = wte
+        params["layers"] = dict(params["layers"])
+        params["layers"]["wo"] = dict(params["layers"]["wo"])
+        params["layers"]["wo"]["kernel"] = wo
+        print(f"[t5-outliers] injected {n_channels} channels x{factor}", flush=True)
+        return jax.device_put(params) if to_device else params
+
+    model_io.load_t5_encoder = load_with_outliers
+
+
 def run_flux_t5(quantize_t5, steps, latent_hw):
     """FLUX-schnell w4a8 with bf16 vs w8a8 T5 — isolates the quantize_t5
     quality impact (the outlier-channel risk noted in pipeline.py). bf16 T5
@@ -92,6 +129,13 @@ def main():
                     help="measure quantize_t5 (w8a8 T5) on FLUX-schnell "
                     "instead of the MMDiT mode table (use --steps 4 for "
                     "the schnell-native schedule)")
+    ap.add_argument("--t5-outliers", type=int, default=16, metavar="N",
+                    help="inject N heavy-tailed outlier channels (x factor "
+                    "below) into the synthetic T5 before BOTH runs, so the "
+                    "measurement reflects real T5-XXL statistics; 0 disables")
+    ap.add_argument("--t5-outlier-factor", type=float, default=50.0)
+    ap.add_argument("--t5-no-smooth", action="store_true",
+                    help="disable the SmoothQuant fold (A/B the mitigation)")
     args = ap.parse_args()
 
     assert os.environ.get("DIFFUSIONKIT_TPU_CKPT_DIR"), (
@@ -101,12 +145,19 @@ def main():
 
     latent_hw = (args.size // 8, args.size // 8)
     if args.t5:
+        if args.t5_outliers:
+            _install_t5_outlier_injection(args.t5_outliers, args.t5_outlier_factor)
+        if args.t5_no_smooth:
+            os.environ["DIFFUSIONKIT_TPU_T5_SMOOTH"] = "0"
         base, dt_base = run_flux_t5(False, args.steps, latent_hw)
         quant, dt_quant = run_flux_t5(True, args.steps, latent_hw)
         psnr = float(image_psnr(base, quant))
         out = {
             "model": "argmaxinc/mlx-FLUX.1-schnell (w4a8 MMDiT)",
             "size": args.size, "prompt": PROMPT,
+            "t5_outlier_channels": args.t5_outliers,
+            "t5_outlier_factor": args.t5_outlier_factor,
+            "smoothquant": not args.t5_no_smooth,
             "t5_w8a8_psnr_vs_bf16_t5_db": round(psnr, 2),
             "wall_s": {"bf16_t5": round(dt_base, 1),
                        "w8a8_t5": round(dt_quant, 1)},
