@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
              "better fidelity when quantizing a float checkpoint",
     )
     parser.add_argument(
+        "--quantize-t5", action="store_true",
+        help="w8a8 (int8-MXU) T5-XXL with a SmoothQuant outlier fold — "
+             "4.7 GB resident instead of 9.4, the single-16GB-chip serving "
+             "configuration for 12B FLUX with T5 resident (see serve.py)",
+    )
+    parser.add_argument(
         "--quantize-group-size", type=int, default=32,
         help="Group size for quantize-at-load (32 halves the group error "
              "for ~1 extra bit/weight); pre-quantized checkpoints keep "
@@ -145,6 +151,7 @@ def cli(argv=None):
         local_ckpt=args.local_ckpt,
         use_scan=args.use_scan,
         quantize_mmdit=args.quantize_mmdit,
+        quantize_t5=args.quantize_t5,
         quantize_group_size=args.quantize_group_size,
     )
     if args.preload_models:

@@ -69,6 +69,7 @@ def test_pipeline_correctness_golden_images():
             low_memory_mode=True,
             use_t5=example.get("use_t5", False),
             quantize_mmdit=example.get("quantize_mmdit", False),
+            quantize_t5=example.get("quantize_t5", False),
             shift=example.get("shift", 1.0 if "FLUX" in version else 3.0),
         )
         image_prompt = example.get("image_prompt")

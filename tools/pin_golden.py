@@ -42,6 +42,19 @@ RUNS = {
         steps=4, cfg=0.0, height=512, width=512, seed=42, use_t5=True,
         quantize_mmdit=True, guidance=3.5,
     ),
+    # Serving-config rows (VERDICT round 3, Next #8): w4a8-mixed MMDiT +
+    # SmoothQuant w8a8 T5 (serve.py's recommended flags) at 512^2 and the
+    # production 1024^2.
+    "flux_serving_512": dict(
+        model_version="argmaxinc/mlx-FLUX.1-schnell",
+        steps=4, cfg=0.0, height=512, width=512, seed=42, use_t5=True,
+        quantize_mmdit="w4a8-mixed", quantize_t5=True,
+    ),
+    "flux_serving_1024": dict(
+        model_version="argmaxinc/mlx-FLUX.1-schnell",
+        steps=4, cfg=0.0, height=1024, width=1024, seed=42, use_t5=True,
+        quantize_mmdit="w4a8-mixed", quantize_t5=True,
+    ),
     # img2img: the image prompt is the pinned sd3_medium txt2img golden, so
     # the dataset is self-contained and test_golden can replay the run.
     "sd3_medium_img2img": dict(

@@ -26,4 +26,12 @@ run flux_schnell --model-version argmaxinc/mlx-FLUX.1-schnell \
                  --steps 4 --cfg 0 --height 512 --width 512 --quantize-mmdit
 run flux_dev     --model-version argmaxinc/mlx-FLUX.1-dev \
                  --steps 4 --cfg 0 --height 512 --width 512 --quantize-mmdit --guidance 3.5
+# Serving-config goldens (VERDICT round 3, Next #8): the exact configuration
+# serve.py recommends — w4a8-mixed MMDiT + SmoothQuant w8a8 T5 — pinned at
+# both 512^2 and the production 1024^2 so a perf change that shifts pixels
+# fails a test, not a review.
+run flux_serving_512  --model-version argmaxinc/mlx-FLUX.1-schnell \
+                 --steps 4 --cfg 0 --height 512 --width 512 --quantize-mmdit w4a8-mixed --quantize-t5
+run flux_serving_1024 --model-version argmaxinc/mlx-FLUX.1-schnell \
+                 --steps 4 --cfg 0 --height 1024 --width 1024 --quantize-mmdit w4a8-mixed --quantize-t5
 echo "=== ALL DONE $(date +%H:%M:%S)" | tee -a $OUT/status.log
