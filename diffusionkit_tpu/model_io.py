@@ -1229,6 +1229,36 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Params:
 LAYOUT_VERSION = 2
 
 
+def quant_cache_path(tag: str, src_path: Union[str, Path]) -> Optional[Path]:
+    """Cache file for a quantized execution tree derived from ``src_path``.
+
+    Quantize-at-load of a 12B model costs minutes (ALS grid search +
+    repacking); the result is deterministic given (source file, mode,
+    algorithm revision), so serving cold-starts reload it from disk instead.
+    The key embeds the source's size+mtime (mirror regeneration invalidates)
+    and the callers embed mode/group/algorithm revision in ``tag``.
+    DIFFUSIONKIT_TPU_QUANT_CACHE=0 disables; DIFFUSIONKIT_TPU_CACHE_DIR
+    relocates (default ~/.cache/diffusionkit_tpu/params).
+    """
+    import re
+
+    if os.environ.get("DIFFUSIONKIT_TPU_QUANT_CACHE", "1") == "0":
+        return None
+    try:
+        st = os.stat(src_path)
+    except OSError:
+        return None
+    d = Path(
+        os.environ.get(
+            "DIFFUSIONKIT_TPU_CACHE_DIR",
+            Path.home() / ".cache" / "diffusionkit_tpu",
+        )
+    ) / "params"
+    d.mkdir(parents=True, exist_ok=True)
+    key = f"{tag}_{st.st_size}_{int(st.st_mtime)}"
+    return d / (re.sub(r"[^A-Za-z0-9._-]", "-", key) + ".safetensors")
+
+
 def save_params(params: Params, path: Union[str, Path]) -> None:
     """Save a mapped parameter pytree in THIS framework's layout.
 

@@ -78,6 +78,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
             ]
             lib.dk_quantize_int4_als.restype = None
         except AttributeError:
@@ -137,12 +138,16 @@ def quantize_int4(w: np.ndarray, group_size: int):
 
 
 def quantize_int4_als(w: np.ndarray, group_size: int, iters: int = 8,
-                      f16_grid: bool = True):
+                      f16_grid: bool = True, want_wscale: bool = False):
     """Refined (alternating-least-squares) affine int4 group quantization —
     native/dkio.cpp dk_quantize_int4_als. With ``f16_grid`` the winning
     scales/zeros are rounded to IEEE half (the storage dtype) before the
-    final requantize, and are returned as float16 arrays. Returns None when
-    the native lib is unavailable (caller uses the numpy implementation)."""
+    final requantize, and are returned as float16 arrays. ``want_wscale``
+    additionally returns the exact per-out-channel max|dequant|/127 (the
+    w4a8 int8-grid scale), tracked during packing — computing it afterwards
+    costs a second full nibble-unpack of the model (minutes at 12B in
+    numpy). Returns None when the native lib is unavailable (caller uses
+    the numpy implementation)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "dk_quantize_int4_als"):
         return None
@@ -151,17 +156,22 @@ def quantize_int4_als(w: np.ndarray, group_size: int, iters: int = 8,
     packed = np.empty((in_dim // 8, out_dim), np.uint32)
     scales = np.empty((in_dim // group_size, out_dim), np.float32)
     zeros = np.empty_like(scales)
+    wscale = np.empty((out_dim,), np.float32) if want_wscale else None
     lib.dk_quantize_int4_als(
         w.ctypes.data_as(ctypes.c_void_p), in_dim, out_dim, group_size,
         iters, int(f16_grid),
         packed.ctypes.data_as(ctypes.c_void_p),
         scales.ctypes.data_as(ctypes.c_void_p),
         zeros.ctypes.data_as(ctypes.c_void_p),
+        wscale.ctypes.data_as(ctypes.c_void_p) if want_wscale else None,
     )
     if f16_grid:  # values are already half-rounded; the cast is lossless
         scales = scales.astype(np.float16)
         zeros = zeros.astype(np.float16)
-    return {"q4": packed, "scales": scales, "zeros": zeros}
+    out = {"q4": packed, "scales": scales, "zeros": zeros}
+    if want_wscale:
+        out["wscale"] = wscale
+    return out
 
 
 def f32_to_bf16(src: np.ndarray) -> np.ndarray:

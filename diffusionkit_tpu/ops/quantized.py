@@ -30,6 +30,11 @@ import numpy as np
 
 Params = Dict[str, Any]
 
+# Revision of the quantize-at-load algorithm, embedded in disk-cache keys
+# (model_io.quant_cache_path) so cached execution trees regenerate when the
+# math changes. 2 = ALS-refined f16-stored grid (round 4).
+QUANT_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # Host-side packing / quantisation (numpy; used by loaders)
@@ -106,7 +111,7 @@ def _als_refine_host(
 
 def quantize_kernel_host(
     w: np.ndarray, bits: int = 4, group_size: int = 64,
-    refine: Optional[bool] = None,
+    refine: Optional[bool] = None, with_wscale: bool = False,
 ) -> Params:
     """Affine group quantisation of an (in, out) float kernel (host).
 
@@ -139,7 +144,8 @@ def quantize_kernel_host(
 
     if bits == 4 and refine:
         out = native.quantize_int4_als(
-            np.ascontiguousarray(w, np.float32), group_size
+            np.ascontiguousarray(w, np.float32), group_size,
+            want_wscale=with_wscale,
         )
         if out is None:
             g = w.reshape(in_dim // group_size, group_size, out_dim).astype(
@@ -150,6 +156,14 @@ def quantize_kernel_host(
                 "q4": pack_int4_host(q.reshape(in_dim, out_dim)),
                 "scales": scale, "zeros": zero,
             }
+            if with_wscale:
+                deq = (
+                    q.astype(np.float32) * scale.astype(np.float32)[:, None, :]
+                    + zero.astype(np.float32)[:, None, :]
+                ).reshape(in_dim, out_dim)
+                out["wscale"] = (
+                    np.maximum(np.abs(deq).max(0), 1e-8) / 127.0
+                ).astype(np.float32)
         return out
     if bits == 4:
         q = native.quantize_int4(np.ascontiguousarray(w, np.float32), group_size)
@@ -292,13 +306,15 @@ def is_quantized(p: Params) -> bool:
 
 
 def quantize_linear_params(
-    p: Params, bits: int = 4, group_size: int = 64, min_size: int = 1 << 16
+    p: Params, bits: int = 4, group_size: int = 64, min_size: int = 1 << 16,
+    with_wscale: bool = False,
 ) -> Params:
     """Quantise one {"kernel","bias"} linear param dict (host round trip)."""
     kernel = np.asarray(jax.device_get(p["kernel"]), dtype=np.float32)
     if kernel.ndim != 2 or kernel.size < min_size or kernel.shape[0] % group_size:
         return p
-    out = quantize_kernel_host(kernel, bits, group_size)
+    out = quantize_kernel_host(kernel, bits, group_size,
+                               with_wscale=with_wscale and bits == 4)
     out["bias"] = p.get("bias")
     return out
 
@@ -328,6 +344,7 @@ def quantize_tree(
     group_size: int = 64,
     min_size: int = 1 << 16,
     overrides: Optional[Dict[str, Any]] = None,
+    with_wscale: bool = False,
 ) -> Params:
     """Recursively quantise every eligible linear kernel in a parameter tree.
 
@@ -343,11 +360,13 @@ def quantize_tree(
         if "kernel" in params and not is_quantized(params):
             k = params["kernel"]
             if k.ndim == 2:
-                return quantize_linear_params(params, bits, group_size, min_size)
+                return quantize_linear_params(params, bits, group_size, min_size,
+                                              with_wscale=with_wscale)
             if k.ndim == 3 and k.shape[1] % group_size == 0 and k[0].size >= min_size:
                 per = [
                     quantize_kernel_host(
-                        np.asarray(jax.device_get(k[i]), np.float32), bits, group_size
+                        np.asarray(jax.device_get(k[i]), np.float32), bits,
+                        group_size, with_wscale=with_wscale and bits == 4,
                     )
                     for i in range(k.shape[0])
                 ]
@@ -365,10 +384,12 @@ def quantize_tree(
                     out[k] = v
                     continue
                 b = overrides[k]
-            out[k] = quantize_tree(v, b, group_size, min_size, overrides)
+            out[k] = quantize_tree(v, b, group_size, min_size, overrides,
+                                   with_wscale)
         return out
     if isinstance(params, list):
-        return [quantize_tree(v, bits, group_size, min_size, overrides) for v in params]
+        return [quantize_tree(v, bits, group_size, min_size, overrides,
+                              with_wscale) for v in params]
     return params
 
 

@@ -398,6 +398,39 @@ class DiffusionPipeline:
     # -- model management (reference mlx/__init__.py:107-174) ---------------
 
     def load_mmdit(self):
+        cache = None
+        if self.quantize_mmdit:
+            # Quantized execution trees are deterministic given (source
+            # file, mode, group, algorithm revision) — cache them on disk so
+            # serving cold-starts skip the minutes-long 12B requantize.
+            from .ops.quantized import QUANT_VERSION
+
+            try:
+                src = model_io._resolve(
+                    self.model_version,
+                    model_io.MMDIT_CKPT[self.model_version],
+                    self.local_ckpt,
+                )
+                tag = (
+                    f"mmdit_{self.model_version}_{self.quantize_mmdit}"
+                    f"_g{self.quantize_group_size}_{self.dtype.__name__}"
+                    f"_q{QUANT_VERSION}"
+                )
+                cache = model_io.quant_cache_path(tag, src)
+            except Exception:
+                cache = None
+            if cache is not None and cache.exists():
+                logger.info("Loading quantized MMDiT from cache %s", cache)
+                params = model_io.load_params(cache, to_device=False)
+                self.mmdit_config = model_io.MMDIT_CONFIG[self.model_version]
+                if self.mesh is not None:
+                    from .parallel import mmdit_shardings, shard_params
+
+                    params = shard_params(params, mmdit_shardings(params, self.mesh))
+                else:
+                    params = jax.device_put(params)
+                self.mmdit_params = params
+                return
         params, self.mmdit_config = model_io.load_mmdit(
             self.model_version, self.dtype, self.local_ckpt,
             to_device=self.mesh is None and not self.quantize_mmdit,
@@ -433,12 +466,23 @@ class DiffusionPipeline:
                         bits=8 if mode == "int8" else 4,
                         group_size=self.quantize_group_size,
                         overrides=MIXED_OVERRIDES if mixed else None,
+                        # w4a8 needs the per-channel int8-grid scale; the
+                        # native quantizer tracks the exact max|dequant|
+                        # during packing so no second nibble-unpack pass.
+                        with_wscale=mode == "w4a8",
                     )
                 if mode == "w4a8":
                     # int4 HBM footprint + int8 MXU rate (ops/w4a8_matmul.py).
+                    # Fills wscale only where the quantizer didn't already
+                    # (pre-quantized checkpoints, numpy-fallback leaves).
                     from .ops.w4a8_matmul import add_wscale_tree
 
                     params = add_wscale_tree(params)
+            if cache is not None:
+                try:
+                    model_io.save_params(params, cache)
+                except Exception as e:  # disk-full etc. — cache is optional
+                    logger.warning("quant cache write failed: %s", e)
         if self.mesh is not None:
             from .parallel import mmdit_shardings, shard_params
 
@@ -472,10 +516,30 @@ class DiffusionPipeline:
             self.t5_tokenizer = model_io.load_t5_tokenizer(
                 model_io.T5_MAX_LENGTH[self.model_version]
             )
-            self.t5_params = model_io.load_t5_encoder(
-                self.dtype, to_device=not self.quantize_t5
-            )
+            cache = None
             if self.quantize_t5:
+                from .ops.quantized import QUANT_VERSION
+
+                smooth_on = os.environ.get("DIFFUSIONKIT_TPU_T5_SMOOTH", "1") != "0"
+                try:
+                    cache = model_io.quant_cache_path(
+                        f"t5_w8a8_{'smooth' if smooth_on else 'plain'}"
+                        f"_{self.dtype.__name__}_q{QUANT_VERSION}",
+                        model_io._resolve_aux(model_io.AUX_FILES["t5"]),
+                    )
+                except Exception:
+                    cache = None
+            cached = cache is not None and cache.exists()
+            if cached:
+                logger.info("Loading quantized T5 from cache %s", cache)
+                self.t5_params = jax.device_put(
+                    model_io.load_params(cache, to_device=False)
+                )
+            else:
+                self.t5_params = model_io.load_t5_encoder(
+                    self.dtype, to_device=not self.quantize_t5
+                )
+            if self.quantize_t5 and not cached:
                 # Quantize on the HOST tree, then place: the bf16 T5 must
                 # never be device-resident next to a loaded 12B MMDiT.
                 # SmoothQuant fold first (exact float equivalence; host
@@ -485,7 +549,7 @@ class DiffusionPipeline:
                 # DIFFUSIONKIT_TPU_T5_SMOOTH=0 disables.
                 from .ops.w8a8 import w8a8_tree
 
-                if os.environ.get("DIFFUSIONKIT_TPU_T5_SMOOTH", "1") != "0":
+                if smooth_on:
                     from .ops.smoothquant import smooth_t5
 
                     t0 = time.perf_counter()
@@ -496,7 +560,13 @@ class DiffusionPipeline:
                         "SmoothQuant T5 calibration+fold: %.1fs",
                         time.perf_counter() - t0,
                     )
-                self.t5_params = jax.device_put(w8a8_tree(self.t5_params))
+                host_tree = w8a8_tree(self.t5_params)
+                if cache is not None:
+                    try:
+                        model_io.save_params(host_tree, cache)
+                    except Exception as e:
+                        logger.warning("quant cache write failed: %s", e)
+                self.t5_params = jax.device_put(host_tree)
             if self.mesh is not None:
                 from .parallel import shard_params, t5_shardings
 

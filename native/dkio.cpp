@@ -208,7 +208,11 @@ static inline float half_round(float f) { return half_to_float(float_to_half(f))
 // dk_quantize_int4 (disjoint output-column stripes).
 void dk_quantize_int4_als(const float* w, int64_t in_dim, int64_t out_dim,
                           int64_t group, int iters, int f16_grid,
-                          uint32_t* packed, float* scales, float* zeros) {
+                          uint32_t* packed, float* scales, float* zeros,
+                          float* wscale /* nullable: per-column
+                          max|dequant|/127, the w4a8 int8-grid scale —
+                          computed here from the exact final codes so
+                          loaders skip a second full nibble-unpack pass */) {
   const int64_t n_groups = in_dim / group;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;
@@ -220,6 +224,7 @@ void dk_quantize_int4_als(const float* w, int64_t in_dim, int64_t out_dim,
       const size_t nc = static_cast<size_t>(c1 - c0);
       std::vector<float> s(nc), z(nc), best_s(nc), best_z(nc), best_e(nc);
       std::vector<float> sw(nc), sq(nc), sqq(nc), swq(nc), err(nc);
+      std::vector<float> amax(nc, 0.0f);
       const float n = static_cast<float>(group);
       for (int64_t g = 0; g < n_groups; ++g) {
         const int64_t r0 = g * group;
@@ -303,9 +308,17 @@ void dk_quantize_int4_als(const float* w, int64_t in_dim, int64_t out_dim,
               float q = std::nearbyint((row[c] - z[i]) / s[i]);
               q = std::min(15.0f, std::max(0.0f, q));
               out_word[c] |= static_cast<uint32_t>(q) << shift;
+              if (wscale) {
+                amax[i] = std::max(amax[i], std::fabs(s[i] * q + z[i]));
+              }
             }
           }
         }
+      }
+      if (wscale) {
+        for (size_t i = 0; i < nc; ++i)
+          wscale[c0 + static_cast<int64_t>(i)] =
+              std::max(amax[i], 1e-8f) / 127.0f;
       }
     });
   }

@@ -201,3 +201,32 @@ def test_w4a8_linear_accepts_shared_actquant():
     base = np.asarray(w4a8_linear(p, x, bm=8, interpret=True))
     got = np.asarray(w4a8_linear(p, quantize_shared(x), bm=8, interpret=True))
     np.testing.assert_array_equal(got, base)
+
+
+def test_quantizer_tracked_wscale_matches_host_recompute():
+    """with_wscale=True: the per-channel int8-grid scale tracked during
+    packing (native) or computed from the unpacked codes (numpy fallback)
+    must match wscale_from_q4_host's full nibble-unpack recompute. 1-ulp
+    slack: the native FMA may contract the dequant multiply-add."""
+    rs = np.random.RandomState(21)
+    w = rs.randn(128, 64).astype(np.float32) * 0.04
+    p = quantize_kernel_host(w, bits=4, group_size=32, with_wscale=True)
+    assert "wscale" in p and p["wscale"].shape == (64,)
+    want = np.asarray(wscale_from_q4_host(p))
+    np.testing.assert_allclose(np.asarray(p["wscale"]), want, rtol=2e-6)
+
+
+def test_quantize_tree_with_wscale_stacked():
+    """Stacked (L, in, out) kernels get stacked (L, out) wscale leaves and
+    add_wscale_tree leaves them untouched."""
+    from diffusionkit_tpu.ops.quantized import quantize_tree
+    from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_tree
+
+    rs = np.random.RandomState(22)
+    tree = {"q": {"kernel": rs.randn(3, 64, 32).astype(np.float32) * 0.04,
+                  "bias": None}}
+    q = quantize_tree(tree, bits=4, group_size=32, min_size=1, with_wscale=True)
+    assert q["q"]["wscale"].shape == (3, 32)
+    before = np.asarray(q["q"]["wscale"]).copy()
+    q2 = add_wscale_tree(q)
+    np.testing.assert_array_equal(np.asarray(q2["q"]["wscale"]), before)

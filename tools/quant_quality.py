@@ -21,6 +21,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This tool measures quantize-at-load quality across modes/injections; a
+# cached execution tree from a previous run (possibly with different
+# injection settings) would silently replace the fresh quantization.
+os.environ["DIFFUSIONKIT_TPU_QUANT_CACHE"] = "0"
+
 MODEL = "argmaxinc/mlx-stable-diffusion-3-medium"
 PROMPT = "a photo of a cat in a wizard hat"
 MODES = [None, "int8", "int4", "w8a8", "w4a8", "int4-mixed", "w4a8-mixed"]
