@@ -21,10 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# This tool measures quantize-at-load quality across modes/injections; a
-# cached execution tree from a previous run (possibly with different
-# injection settings) would silently replace the fresh quantization.
-os.environ["DIFFUSIONKIT_TPU_QUANT_CACHE"] = "0"
+# NOTE on the quantized-tree disk cache: mode-table runs may use it (keys
+# embed mode/group/algorithm, and quantization is deterministic), but the
+# --t5 outlier-injection path must NOT — the injection perturbs weights
+# in-memory without changing the cache key (see main()).
 
 MODEL = "argmaxinc/mlx-stable-diffusion-3-medium"
 PROMPT = "a photo of a cat in a wizard hat"
@@ -91,6 +91,13 @@ def _install_t5_outlier_injection(n_channels: int, factor: float):
         return jax.device_put(params) if to_device else params
 
     model_io.load_t5_encoder = load_with_outliers
+    # Injected T5 weights must never hit (or read) the quantized-tree disk
+    # cache — its key derives from the untouched source file. The MMDiT
+    # cache stays usable (the injection never touches MMDiT weights).
+    orig_cache = model_io.quant_cache_path
+    model_io.quant_cache_path = lambda tag, src: (
+        None if tag.startswith("t5_") else orig_cache(tag, src)
+    )
 
 
 def run_flux_t5(quantize_t5, steps, latent_hw):
