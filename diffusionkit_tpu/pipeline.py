@@ -701,23 +701,41 @@ class DiffusionPipeline:
         iter_time: List[float] = []
         w = np.float32(cfg_weight)
         n_iter = len(sigmas) - 1
+        per = self._denoise_chunk_images(latent_size)
         if self.use_scan:
             # One XLA program for the whole schedule; per-iter times are
             # uniform by construction (reported as total/n).
             t0 = time.perf_counter()
-            x = _denoise_scan(
-                self.mmdit_params,
-                x,
-                np.asarray(sigmas, np.float32),
-                conditioning,
-                pooled_conditioning,
-                w,
-                g,
-                self.mmdit_config,
-                cfg_on,
-                self.sdpa_impl,
-                self.mesh,
-            )
+
+            def scan_chunk(x0, c, p):
+                return _denoise_scan(
+                    self.mmdit_params, x0, np.asarray(sigmas, np.float32),
+                    c, p, w, g, self.mmdit_config, cfg_on,
+                    self.sdpa_impl, self.mesh,
+                )
+
+            if num_images <= per:
+                x = scan_chunk(x, conditioning, pooled_conditioning)
+            else:
+                # Same HBM auto-split as generate_images_batched: num_images
+                # at 1024² would otherwise blow the resident plan's headroom.
+                outs = []
+                n = num_images
+                for i in range(0, n, per):
+                    j = min(i + per, n)
+                    if cfg_on:
+                        c = jnp.concatenate(
+                            [conditioning[i:j], conditioning[n + i : n + j]]
+                        )
+                        p = jnp.concatenate(
+                            [pooled_conditioning[i:j],
+                             pooled_conditioning[n + i : n + j]]
+                        )
+                    else:
+                        c = conditioning[i:j]
+                        p = pooled_conditioning[i:j]
+                    outs.append(scan_chunk(noise_scaled[i:j], c, p))
+                x = jnp.concatenate(outs)
             x.block_until_ready()
             iter_time = [round((time.perf_counter() - t0) / max(n_iter, 1), 4)] * n_iter
         else:

@@ -372,3 +372,18 @@ def test_batched_generation_denoise_autosplit(monkeypatch):
     assert len(whole) == len(split) == 3
     for w, s in zip(whole, split):
         np.testing.assert_array_equal(w, s)
+
+
+def test_generate_image_num_images_denoise_autosplit(monkeypatch):
+    """num_images auto-split in denoise_latents (the generate_image /
+    single-prompt multi-image path) == unsplit, pixel-identical."""
+    pipe = build_sd3_pipeline()
+    kw = dict(num_steps=2, cfg_weight=5.0, latent_size=(8, 8), seed=11,
+              num_images=3, verbose=False)
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_DENOISE_BATCH", "8")
+    whole = [np.asarray(im) for im in pipe.generate_image("a fox", **kw)[0]]
+    monkeypatch.setenv("DIFFUSIONKIT_TPU_DENOISE_BATCH", "2")
+    split = [np.asarray(im) for im in pipe.generate_image("a fox", **kw)[0]]
+    assert len(whole) == len(split) == 3
+    for a, b in zip(whole, split):
+        np.testing.assert_array_equal(a, b)
