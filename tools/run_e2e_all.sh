@@ -7,7 +7,7 @@ OUT=.e2e_r2
 run() {
   name=$1; shift
   echo "=== $name: start $(date +%H:%M:%S)" | tee -a $OUT/status.log
-  timeout 3000 python -m diffusionkit_tpu.scripts.generate_images \
+  timeout 7200 python -m diffusionkit_tpu.scripts.generate_images \
     --prompt "a photo of a cat in a wizard hat" --seed 42 -v \
     -o $OUT/$name.png "$@" > $OUT/$name.log 2>&1
   rc=$?
