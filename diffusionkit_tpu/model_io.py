@@ -1259,6 +1259,32 @@ def quant_cache_path(tag: str, src_path: Union[str, Path]) -> Optional[Path]:
     return d / (re.sub(r"[^A-Za-z0-9._-]", "-", key) + ".safetensors")
 
 
+def save_params_atomic(params: Params, path: Path) -> None:
+    """save_params via temp file + rename: a crash/disk-full mid-write must
+    never leave a truncated cache that poisons every later startup."""
+    tmp = path.with_suffix(".tmp")
+    try:
+        save_params(params, tmp)
+        os.replace(tmp, path)
+    finally:
+        if tmp.exists():
+            tmp.unlink(missing_ok=True)
+
+
+def load_params_cache(path: Path, to_device: bool = False):
+    """Guarded cache read: a corrupt or stale-layout file is deleted and
+    None returned so the caller regenerates instead of crashing forever."""
+    try:
+        return load_params(path, to_device=to_device)
+    except Exception as e:
+        logger.warning("quant cache %s unreadable (%s); regenerating", path, e)
+        try:
+            path.unlink(missing_ok=True)
+        except OSError:
+            pass
+        return None
+
+
 def save_params(params: Params, path: Union[str, Path]) -> None:
     """Save a mapped parameter pytree in THIS framework's layout.
 

@@ -72,3 +72,22 @@ def vmem_scale() -> float:
 def scale_budget(v5e_budget: int) -> int:
     """Scale a v5e-swept byte/element budget to the current chip."""
     return int(v5e_budget * vmem_scale())
+
+
+def hbm_scale() -> float:
+    """Ratio of this chip's HBM to the 16 GB v5e the HBM-derived budgets
+    (e.g. the denoise batch auto-split) were sized on. Env-overridable
+    (DIFFUSIONKIT_TPU_HBM_SCALE); never below 1 so v5e-swept behaviour is
+    the floor."""
+    env = os.environ.get("DIFFUSIONKIT_TPU_HBM_SCALE")
+    if env:
+        return float(env)
+    try:
+        import jax
+
+        limit = jax.local_devices()[0].memory_stats().get("bytes_limit")
+        if limit:
+            return max(1.0, float(limit) / 16e9)
+    except Exception:  # pragma: no cover - CPU/no stats
+        pass
+    return 1.0

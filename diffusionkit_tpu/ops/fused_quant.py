@@ -72,6 +72,21 @@ def _gelu_erf(x: jnp.ndarray) -> jnp.ndarray:
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh-form GELU (the tanh-based erf approximation, |err| < ~3e-4
+    absolute). In THIS kernel the output is immediately quantized to int8 —
+    grid step = rowmax/127, orders of magnitude above the approximation
+    error — so the form is chosen by VPU cost: the A&S erf polynomial
+    carries a reciprocal (t = 1/(1+p|x|)) that dominates the pass."""
+    return 0.5 * x * (
+        1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))
+    )
+
+
+def _gelu_form():
+    return os.environ.get("DIFFUSIONKIT_TPU_GELU_FORM", "erf")
+
+
 def _quantize_rows(g: jnp.ndarray):
     """Per-row symmetric int8 grid, identical to w8a8.quantize_activations."""
     amax = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-8)
@@ -80,8 +95,9 @@ def _quantize_rows(g: jnp.ndarray):
     return x8, scale
 
 
-def _gelu_quant_kernel(y_ref, x8_ref, s_ref):
-    g = _gelu_erf(y_ref[...].astype(jnp.float32))
+def _gelu_quant_kernel(y_ref, x8_ref, s_ref, *, form="erf"):
+    gelu = _gelu_tanh if form == "tanh" else _gelu_erf
+    g = gelu(y_ref[...].astype(jnp.float32))
     x8, scale = _quantize_rows(g)
     x8_ref[...] = x8
     s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
@@ -93,14 +109,19 @@ def _quant_kernel(y_ref, x8_ref, s_ref):
     s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
 
 
-def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
+def _ln_modulate(x_ref, sh_ref, sc_ref, eps):
+    """Shared AdaLN-LN body for the quantizing and float kernels: fp32
+    stats over the (bm, H) block, then (1+scale)*norm + shift."""
     x = x_ref[0].astype(jnp.float32)  # (bm, H)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     h = xc * jax.lax.rsqrt(var + eps)
-    h = h * (1.0 + sc_ref[0].astype(jnp.float32)) + sh_ref[0].astype(jnp.float32)
-    x8, scale = _quantize_rows(h)
+    return h * (1.0 + sc_ref[0].astype(jnp.float32)) + sh_ref[0].astype(jnp.float32)
+
+
+def _mod_ln_quant_kernel(x_ref, sh_ref, sc_ref, x8_ref, s_ref, *, eps):
+    x8, scale = _quantize_rows(_ln_modulate(x_ref, sh_ref, sc_ref, eps))
     x8_ref[0] = x8
     s_ref[0] = jnp.broadcast_to(scale, s_ref.shape[1:])
 
@@ -213,7 +234,10 @@ def gelu_quantize(y: jnp.ndarray, interpret: bool = False) -> ActQuant:
     gelu-write + absmax-read + round-read-write (~9 bytes/element).
     """
     lead, n = y.shape[:-1], y.shape[-1]
-    x8, s = _rowwise_call(_gelu_quant_kernel, y.reshape(-1, n), interpret)
+    x8, s = _rowwise_call(
+        functools.partial(_gelu_quant_kernel, form=_gelu_form()),
+        y.reshape(-1, n), interpret,
+    )
     return ActQuant(
         x8.reshape(*lead, n), s.reshape(*lead, 1), None, out_dtype=y.dtype
     )
@@ -226,6 +250,64 @@ def quantize(y: jnp.ndarray, interpret: bool = False) -> ActQuant:
     return ActQuant(
         x8.reshape(*lead, n), s.reshape(*lead, 1), None, out_dtype=y.dtype
     )
+
+
+def _mod_ln_kernel(x_ref, sh_ref, sc_ref, o_ref, *, eps):
+    o_ref[0] = _ln_modulate(x_ref, sh_ref, sc_ref, eps).astype(o_ref.dtype)
+
+
+def _mod_ln_call(kernel, x, shift, scale, out_specs, out_shape_fn, interpret):
+    """Row-blocked (b, s, h) pallas_call scaffolding shared by mod_ln and
+    mod_ln_quantize (same grid, padding and block specs; only the outputs
+    differ)."""
+    b, s, h = x.shape
+    bm = _pick_rows(h, s)
+    pad = (-s) % bm
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    sp = x.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, sp // bm),
+        in_specs=[
+            pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=out_specs(bm, h),
+        out_shape=out_shape_fn(b, sp, h),
+        interpret=interpret,
+    )(x, shift, scale)
+    return out, s
+
+
+def mod_ln(
+    x: jnp.ndarray,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused AdaLN LayerNorm for the FLOAT path: ``norm(x)*(1+scale)+shift``
+    in ONE pass (the bf16 sibling of mod_ln_quantize; plays the role of the
+    reference's ``mx.fast.layer_norm`` fused scale/shift form,
+    mmdit.py:849,958-972).
+
+    XLA splits each modulated-LN site into a stats reduction plus one apply
+    pass per consumer group (SD3 512² profile: convert_reduce stats
+    1.5 ms/step + applies 3.1 ms/step across the four sites — ~3x the HBM
+    roofline of reading x once and writing the normed tensor once). One
+    Pallas pass per site removes the re-reads. Same grid/row-picking as the
+    quantizing variant.
+    """
+    interpret = interpret or _mode() == "interpret"
+    out, s = _mod_ln_call(
+        functools.partial(_mod_ln_kernel, eps=eps), x, shift, scale,
+        out_specs=lambda bm, h: pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
+        out_shape_fn=lambda b, sp, h: jax.ShapeDtypeStruct((b, sp, h), x.dtype),
+        interpret=interpret,
+    )
+    return out[:, :s]
 
 
 def mod_ln_quantize(
@@ -243,30 +325,18 @@ def mod_ln_quantize(
     HBM; consumers are the quantized q/k/v (+ FLUX fc1) projections.
     """
     interpret = interpret or _mode() == "interpret"
-    b, s, h = x.shape
-    bm = _pick_rows(h, s)
-    pad = (-s) % bm
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-    sp = x.shape[1]
-    x8, sc = pl.pallas_call(
-        functools.partial(_mod_ln_quant_kernel, eps=eps),
-        grid=(b, sp // bm),
-        in_specs=[
-            pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, h), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=(
+    (x8, sc), s = _mod_ln_call(
+        functools.partial(_mod_ln_quant_kernel, eps=eps), x, shift, scale,
+        out_specs=lambda bm, h: (
             pl.BlockSpec((1, bm, h), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, bm, 128), lambda i, j: (i, j, 0)),
         ),
-        out_shape=(
+        out_shape_fn=lambda b, sp, h: (
             jax.ShapeDtypeStruct((b, sp, h), jnp.int8),
             jax.ShapeDtypeStruct((b, sp, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(x, shift, scale)
+    )
     return ActQuant(
         x8[:, :s], sc[:, :s, :1], None, out_dtype=x.dtype
     )

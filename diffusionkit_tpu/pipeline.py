@@ -200,6 +200,19 @@ def _prep_conditioning(conditioning, pooled, cfg_on: bool, num_images: int, dtyp
     return conditioning.astype(dtype), pooled.astype(dtype)
 
 
+@partial(jax.jit, static_argnames=("i", "j", "n", "cfg_on"))
+def _chunk_cond(cond, pooled, i: int, j: int, n: int, cfg_on: bool):
+    """Per-chunk conditioning rows for the denoise auto-split, as ONE jitted
+    dispatch (repo convention: no eager device ops in orchestration paths).
+    CFG layout [pos*N, neg*N] is preserved per chunk."""
+    if cfg_on:
+        return (
+            jnp.concatenate([cond[i:j], cond[n + i : n + j]]),
+            jnp.concatenate([pooled[i:j], pooled[n + i : n + j]]),
+        )
+    return cond[i:j], pooled[i:j]
+
+
 @jax.jit
 def _process_out_step(x, scale, shift):
     """LatentFormat.process_out as one fused dispatch."""
@@ -411,26 +424,30 @@ class DiffusionPipeline:
                     model_io.MMDIT_CKPT[self.model_version],
                     self.local_ckpt,
                 )
+                refine = os.environ.get("DIFFUSIONKIT_TPU_QUANT_REFINE", "1")
                 tag = (
                     f"mmdit_{self.model_version}_{self.quantize_mmdit}"
                     f"_g{self.quantize_group_size}_{self.dtype.__name__}"
-                    f"_q{QUANT_VERSION}"
+                    f"_q{QUANT_VERSION}_r{refine}"
                 )
                 cache = model_io.quant_cache_path(tag, src)
             except Exception:
                 cache = None
             if cache is not None and cache.exists():
                 logger.info("Loading quantized MMDiT from cache %s", cache)
-                params = model_io.load_params(cache, to_device=False)
-                self.mmdit_config = model_io.MMDIT_CONFIG[self.model_version]
-                if self.mesh is not None:
-                    from .parallel import mmdit_shardings, shard_params
+                params = model_io.load_params_cache(cache)
+                if params is not None:
+                    self.mmdit_config = model_io.MMDIT_CONFIG[self.model_version]
+                    if self.mesh is not None:
+                        from .parallel import mmdit_shardings, shard_params
 
-                    params = shard_params(params, mmdit_shardings(params, self.mesh))
-                else:
-                    params = jax.device_put(params)
-                self.mmdit_params = params
-                return
+                        params = shard_params(
+                            params, mmdit_shardings(params, self.mesh)
+                        )
+                    else:
+                        params = jax.device_put(params)
+                    self.mmdit_params = params
+                    return
         params, self.mmdit_config = model_io.load_mmdit(
             self.model_version, self.dtype, self.local_ckpt,
             to_device=self.mesh is None and not self.quantize_mmdit,
@@ -480,7 +497,7 @@ class DiffusionPipeline:
                     params = add_wscale_tree(params)
             if cache is not None:
                 try:
-                    model_io.save_params(params, cache)
+                    model_io.save_params_atomic(params, cache)
                 except Exception as e:  # disk-full etc. — cache is optional
                     logger.warning("quant cache write failed: %s", e)
         if self.mesh is not None:
@@ -529,13 +546,14 @@ class DiffusionPipeline:
                     )
                 except Exception:
                     cache = None
-            cached = cache is not None and cache.exists()
-            if cached:
+            cached = False
+            if cache is not None and cache.exists():
                 logger.info("Loading quantized T5 from cache %s", cache)
-                self.t5_params = jax.device_put(
-                    model_io.load_params(cache, to_device=False)
-                )
-            else:
+                host = model_io.load_params_cache(cache)
+                if host is not None:
+                    self.t5_params = jax.device_put(host)
+                    cached = True
+            if not cached:
                 self.t5_params = model_io.load_t5_encoder(
                     self.dtype, to_device=not self.quantize_t5
                 )
@@ -563,7 +581,7 @@ class DiffusionPipeline:
                 host_tree = w8a8_tree(self.t5_params)
                 if cache is not None:
                     try:
-                        model_io.save_params(host_tree, cache)
+                        model_io.save_params_atomic(host_tree, cache)
                     except Exception as e:
                         logger.warning("quant cache write failed: %s", e)
                 self.t5_params = jax.device_put(host_tree)
@@ -714,28 +732,10 @@ class DiffusionPipeline:
                     self.sdpa_impl, self.mesh,
                 )
 
-            if num_images <= per:
-                x = scan_chunk(x, conditioning, pooled_conditioning)
-            else:
-                # Same HBM auto-split as generate_images_batched: num_images
-                # at 1024² would otherwise blow the resident plan's headroom.
-                outs = []
-                n = num_images
-                for i in range(0, n, per):
-                    j = min(i + per, n)
-                    if cfg_on:
-                        c = jnp.concatenate(
-                            [conditioning[i:j], conditioning[n + i : n + j]]
-                        )
-                        p = jnp.concatenate(
-                            [pooled_conditioning[i:j],
-                             pooled_conditioning[n + i : n + j]]
-                        )
-                    else:
-                        c = conditioning[i:j]
-                        p = pooled_conditioning[i:j]
-                    outs.append(scan_chunk(noise_scaled[i:j], c, p))
-                x = jnp.concatenate(outs)
+            x = self._run_denoise_chunks(
+                scan_chunk, noise_scaled, conditioning, pooled_conditioning,
+                num_images, per, cfg_on,
+            )
             x.block_until_ready()
             iter_time = [round((time.perf_counter() - t0) / max(n_iter, 1), 4)] * n_iter
         else:
@@ -805,21 +805,46 @@ class DiffusionPipeline:
         return np.concatenate(outs, axis=0)
 
     def _denoise_chunk_images(self, latent_size: Tuple[int, int]) -> int:
-        """Images per denoise sub-batch (generate_images_batched auto-split).
+        """Images per denoise sub-batch (the HBM auto-split).
 
         Denoise activation footprint scales with batch x joint sequence
         length; on a 16 GB v5e with the resident serving plan (~13 GB of
         weights: w4a8 12B MMDiT + w8a8 T5 + CLIP + VAE) the measured budget
         is ~4 x 512² image-equivalents — the same area rule as the chunked
         VAE decode (_decode_batched_u8): 4 images at latent 64x64, 1 at
-        128x128. DIFFUSIONKIT_TPU_DENOISE_BATCH overrides (e.g. a v5p's
-        95 GB raises it ~6x; fidelity is unaffected either way — chunks run
-        the identical program)."""
+        128x128. Scaled by the chip's HBM ratio (ops/chip.hbm_scale — a
+        95 GB v5p should not serialize batches a v5e would) and disabled
+        under a mesh (per-device batch there is already data-sharded, and a
+        split below the data-axis size would be invalid).
+        DIFFUSIONKIT_TPU_DENOISE_BATCH overrides; fidelity is unaffected
+        either way — chunks run the identical program."""
         env = os.environ.get("DIFFUSIONKIT_TPU_DENOISE_BATCH")
         if env:
             return max(1, int(env))
+        if self.mesh is not None:
+            return 1 << 30
+        from .ops.chip import hbm_scale
+
         h, w = latent_size
-        return max(1, (128 * 128) // (h * w))
+        return max(1, int(128 * 128 * hbm_scale()) // (h * w))
+
+    def _run_denoise_chunks(self, run_chunk, x0_np, cond, pooled, n, per, cfg_on):
+        """Chunked denoise driver shared by denoise_latents (num_images) and
+        generate_images_batched: sequential sub-batches through the same
+        jitted scan, CFG row layout preserved per chunk, one jitted
+        conditioning-slice dispatch per chunk."""
+        if n <= per:
+            return run_chunk(x0_np, cond, pooled)
+        logger.info(
+            "denoise batch %d exceeds the %d-image activation budget; "
+            "splitting into %d chunks", n, per, -(-n // per),
+        )
+        outs = []
+        for i in range(0, n, per):
+            j = min(i + per, n)
+            c, p = _chunk_cond(cond, pooled, i, j, n, cfg_on)
+            outs.append(run_chunk(x0_np[i:j], c, p))
+        return jnp.concatenate(outs)
 
     def read_image(self, image_path: str) -> jnp.ndarray:
         from PIL import Image
@@ -1075,32 +1100,17 @@ class DiffusionPipeline:
                 self.mmdit_config, cfg_on, self.sdpa_impl, self.mesh,
             )
 
-        per = self._denoise_chunk_images(latent_size)
-        if n <= per:
-            x = run_chunk(noise_scaled, cond, pool)
-        else:
-            # Auto-split the denoise batch (VERDICT round 3, Weak #5): at
-            # 1024² the per-image denoise activations (joint sequence 4352)
-            # exceed what a chip with ~13 GB of resident serving weights can
-            # hold beyond batch 1, so a batch-4 request at 1024² used to OOM.
-            # Sub-batches run sequentially through the SAME jitted scan
-            # (tail chunk compiles one extra shape); throughput degrades
-            # smoothly to ~chunk-count x chunk-time instead of failing.
-            logger.info(
-                "denoise batch %d exceeds the %d-image activation budget at "
-                "latent %s; splitting into %d chunks",
-                n, per, latent_size, -(-n // per),
-            )
-            outs = []
-            for i in range(0, n, per):
-                j = min(i + per, n)
-                if cfg_on:
-                    c = jnp.concatenate([cond[i:j], cond[n + i : n + j]])
-                    p = jnp.concatenate([pool[i:j], pool[n + i : n + j]])
-                else:
-                    c, p = cond[i:j], pool[i:j]
-                outs.append(run_chunk(noise_scaled[i:j], c, p))
-            x = jnp.concatenate(outs)
+        # Auto-split the denoise batch (VERDICT round 3, Weak #5): at 1024²
+        # the per-image denoise activations (joint sequence 4352) exceed
+        # what a chip with ~13 GB of resident serving weights can hold
+        # beyond batch 1, so a batch-4 request at 1024² used to OOM.
+        # Sub-batches run sequentially through the SAME jitted scan (tail
+        # chunk compiles one extra shape); throughput degrades smoothly to
+        # ~chunk-count x chunk-time instead of failing.
+        x = self._run_denoise_chunks(
+            run_chunk, noise_scaled, cond, pool, n,
+            self._denoise_chunk_images(latent_size), cfg_on,
+        )
         latents = _process_out_step(
             x,
             np.float32(self.latent_format.scale_factor),
