@@ -44,6 +44,33 @@ def _chain_time(step, x0, n):
     return (time.perf_counter() - t0) / n
 
 
+def _scan_time(params, x0, config, cond, pooled, cfg, cfg_on, n, repeats=2):
+    """Time the production denoise path: the whole schedule as ONE jitted
+    ``lax.scan`` (``DiffusionPipeline(use_scan=True)`` — the default).
+
+    Per-step jit dispatch through this box's axon relay costs ~6 ms/step of
+    pure host latency that the shipping scan path never pays (BENCH_r03:
+    37.9 ms/step walled vs 31.8 ms/step device-busy in the XLA profile);
+    chaining ``repeats`` scan dispatches and syncing once at the end makes
+    the wall clock match device time to <1 ms/step."""
+    from diffusionkit_tpu.pipeline import _denoise_scan
+
+    sigmas = jnp.asarray(np.linspace(1.0, 0.0, n + 1).astype(np.float32))
+
+    def run(x):
+        return _denoise_scan(
+            params, x, sigmas, cond, pooled, cfg, None, config, cfg_on, None
+        )
+
+    x = run(x0)
+    _ = np.asarray(x)  # compile + sync
+    t0 = time.perf_counter()
+    for _i in range(repeats):
+        x = run(x)
+    _ = np.asarray(x)
+    return (time.perf_counter() - t0) / (n * repeats)
+
+
 def _mfu(flops_per_step: float, ms: float):
     from diffusionkit_tpu.flops import device_peak_flops
 
@@ -74,7 +101,12 @@ def bench_sd3():
             cond, pooled, jnp.asarray(5.0, jnp.float32), None, config, True, None,
         )
 
-    ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
+    cfg = jnp.asarray(5.0, jnp.float32)
+    # Per-step dispatch chain FIRST: the scan path donates the latent buffer.
+    per_step_ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
+    latent = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32)
+    ms = _scan_time(params, latent, config, cond, pooled, cfg, True,
+                    NUM_STEPS_TIMED) * 1000
     s_image = ms * 50 / 1000  # 50-step headline config
     flops = mmdit_step_flops(config, (64, 64), 154, cfg=True)["total"]
     tflops, mfu = _mfu(flops, ms)
@@ -90,6 +122,8 @@ def bench_sd3():
             "achieved_tflops": tflops,
             "mfu": mfu,
             "timed_steps": NUM_STEPS_TIMED,
+            "timing_path": "use_scan whole-schedule (pipeline default)",
+            "per_step_dispatch_ms": round(per_step_ms, 2),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
@@ -100,7 +134,6 @@ def bench_flux_int4(mode: str = "int4"):
     from diffusionkit_tpu.config import FLUX_SCHNELL
     from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
-    from diffusionkit_tpu.pipeline import _denoise_step
 
     config = FLUX_SCHNELL
     params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits=4)
@@ -113,17 +146,10 @@ def bench_flux_int4(mode: str = "int4"):
     latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
     cond = jnp.zeros((1, 256, 4096), config.dtype)
     pooled = jnp.zeros((1, 768), config.dtype)
-    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
-
-    def step(x, i):
-        return _denoise_step(
-            params, x,
-            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
-            cond, pooled, jnp.asarray(0.0, jnp.float32), None, config, False, None,
-        )
 
     n = max(NUM_STEPS_TIMED // 2, 8)
-    ms = _chain_time(step, latent, n) * 1000
+    ms = _scan_time(params, latent, config, cond, pooled,
+                    jnp.asarray(0.0, jnp.float32), False, n) * 1000
     s_image = ms * 4 / 1000  # 4-step schnell
     flops = mmdit_step_flops(config, (128, 128), 256, cfg=False)["total"]
     tflops, mfu = _mfu(flops, ms)
@@ -157,7 +183,6 @@ def bench_flux_2048():
     from diffusionkit_tpu.models import init_mmdit_params
     from diffusionkit_tpu.ops.flash_attention import pick_flash_blocks
     from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
-    from diffusionkit_tpu.pipeline import _denoise_step
 
     config = FLUX_SCHNELL
     blocks = pick_flash_blocks(16640, config.head_dim)
@@ -168,17 +193,10 @@ def bench_flux_2048():
     latent = jnp.asarray(np.random.RandomState(0).randn(1, 256, 256, 16), jnp.float32)
     cond = jnp.zeros((1, 256, 4096), config.dtype)
     pooled = jnp.zeros((1, 768), config.dtype)
-    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
-
-    def step(x, i):
-        return _denoise_step(
-            params, x,
-            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
-            cond, pooled, jnp.asarray(0.0, jnp.float32), None, config, False, None,
-        )
 
     n = 4
-    ms = _chain_time(step, latent, n) * 1000
+    ms = _scan_time(params, latent, config, cond, pooled,
+                    jnp.asarray(0.0, jnp.float32), False, n, repeats=1) * 1000
     flops = mmdit_step_flops(config, (256, 256), 256, cfg=False)["total"]
     tflops, mfu = _mfu(flops, ms)
     return {
@@ -207,7 +225,6 @@ def bench_sd3_w8a8():
     from diffusionkit_tpu.config import SD3_2b
     from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
-    from diffusionkit_tpu.pipeline import _denoise_step
 
     config = SD3_2b
     params = init_mmdit_params(jax.random.PRNGKey(0), config, quantize_bits="w8a8")
@@ -215,16 +232,9 @@ def bench_sd3_w8a8():
     latent = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32)
     cond = jnp.zeros((2, 154, 4096), config.dtype)
     pooled = jnp.zeros((2, 2048), config.dtype)
-    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
 
-    def step(x, i):
-        return _denoise_step(
-            params, x,
-            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
-            cond, pooled, jnp.asarray(5.0, jnp.float32), None, config, True, None,
-        )
-
-    ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
+    ms = _scan_time(params, latent, config, cond, pooled,
+                    jnp.asarray(5.0, jnp.float32), True, NUM_STEPS_TIMED) * 1000
     flops = mmdit_step_flops(config, (64, 64), 154, cfg=True)["total"]
     tflops, mfu = _mfu(flops, ms)
     return {
@@ -250,7 +260,6 @@ def bench_sd35_w4a8():
     from diffusionkit_tpu.config import SD3_8b
     from diffusionkit_tpu.flops import mmdit_step_flops
     from diffusionkit_tpu.models import init_mmdit_params
-    from diffusionkit_tpu.pipeline import _denoise_step
     from diffusionkit_tpu.ops.w4a8_matmul import add_wscale_bound_tree
 
     config = SD3_8b
@@ -261,17 +270,10 @@ def bench_sd35_w4a8():
     latent = jnp.asarray(np.random.RandomState(0).randn(1, 128, 128, 16), jnp.float32)
     cond = jnp.zeros((2, 154, 4096), config.dtype)
     pooled = jnp.zeros((2, 2048), config.dtype)
-    sigmas = np.linspace(1.0, 0.0, NUM_STEPS_TIMED + 2).astype(np.float32)
-
-    def step(x, i):
-        return _denoise_step(
-            params, x,
-            jnp.asarray(sigmas[i], jnp.float32), jnp.asarray(sigmas[i + 1], jnp.float32),
-            cond, pooled, jnp.asarray(5.0, jnp.float32), None, config, True, None,
-        )
 
     n = max(NUM_STEPS_TIMED // 2, 8)
-    ms = _chain_time(step, latent, n) * 1000
+    ms = _scan_time(params, latent, config, cond, pooled,
+                    jnp.asarray(5.0, jnp.float32), True, n) * 1000
     flops = mmdit_step_flops(config, (128, 128), 154, cfg=True)["total"]
     tflops, mfu = _mfu(flops, ms)
     return {

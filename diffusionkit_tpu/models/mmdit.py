@@ -121,14 +121,21 @@ def _mod_ln_maybe_quant(
 
     ``consumer`` is the param dict of a representative consumer (they share
     quantization mode by construction of quantize_tree/w8a8_tree).
+
+    Float consumers get the fused Pallas AdaLN-LN (ops/fused_quant.mod_ln)
+    when eligible: XLA splits each site into a stats reduction plus one
+    apply pass per consumer group (SD3 512² profile: ~4.6 ms/step across the
+    four per-block sites — ~3x the read-once/write-once roofline).
     """
-    from ..ops.fused_quant import fused_eligible, mod_ln_quantize
+    from ..ops.fused_quant import fused_eligible, mod_ln, mod_ln_quantize
     from ..ops.w8a8 import needs_act_quant, quantize_shared
 
     if needs_act_quant(consumer):
         if fused_eligible(x.shape[-1]) and x.ndim == 3:
             return mod_ln_quantize(x, shift, scale, eps)
         return quantize_shared(modulated_layer_norm(x, shift, scale, eps))
+    if fused_eligible(x.shape[-1]) and x.ndim == 3:
+        return mod_ln(x, shift, scale, eps)
     return modulated_layer_norm(x, shift, scale, eps)
 
 
@@ -455,7 +462,9 @@ def _apply_mmdit_body(
 
     # Final layer: 2-param AdaLN + linear (reference mmdit.py:767-796).
     shift, scale = _ada(params["final_layer"], c, 2, mesh)
-    x = modulated_layer_norm(x, shift, scale, config.layer_norm_eps)
+    x = _mod_ln_maybe_quant(
+        params["final_layer"]["linear"], x, shift, scale, config.layer_norm_eps
+    )
     x = linear(params["final_layer"]["linear"], x)
 
     if config.patchify_via_reshape:

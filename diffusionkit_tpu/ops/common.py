@@ -82,6 +82,13 @@ def ffn_gelu(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     if needs_act_quant(params["fc2"]):
         n = _linear_out_dim(params["fc1"])
         if n is not None and fused_eligible(n):
+            from .w4a8_matmul import w4a8_ffn_eligible, w4a8_ffn_gelu
+
+            if w4a8_ffn_eligible(params["fc1"], params["fc2"]):
+                # Both legs w4a8: the hidden stays int8 end to end — fc1's
+                # epilogue applies GELU + per-(row, n-tile) quantization and
+                # fc2 rescales per k-tile (ops/w4a8_matmul.w4a8_ffn_gelu).
+                return w4a8_ffn_gelu(params["fc1"], params["fc2"], x)
             return linear(params["fc2"], gelu_quantize(linear(params["fc1"], x)))
     return linear(params["fc2"], linear(params["fc1"], x, act="gelu"))
 

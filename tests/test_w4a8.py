@@ -230,3 +230,50 @@ def test_quantize_tree_with_wscale_stacked():
     before = np.asarray(q["q"]["wscale"]).copy()
     q2 = add_wscale_tree(q)
     np.testing.assert_array_equal(np.asarray(q2["q"]["wscale"]), before)
+
+
+def test_w4a8_ffn_gelu_fused_matches_unfused():
+    """The fused fc1 -> GELU(int8 epilogue) -> fc2(grouped scales) chain
+    (w4a8_ffn_gelu) matches the unfused w4a8 chain (fc1 kernel, float GELU,
+    per-row requant, fc2 kernel) within the int8 activation-grid noise the
+    coarser per-row scale itself carries."""
+    from diffusionkit_tpu.ops.w4a8_matmul import w4a8_ffn_gelu
+
+    rs = np.random.RandomState(1)
+    K, H, M = 256, 512, 48
+    fc1 = quantize_kernel_host(rs.randn(K, H).astype(np.float32) * 0.05,
+                               bits=4, group_size=64)
+    fc2 = quantize_kernel_host(rs.randn(H, K).astype(np.float32) * 0.05,
+                               bits=4, group_size=64)
+    fc1 = {**{k: jnp.asarray(v) for k, v in fc1.items()},
+           "wscale": jnp.asarray(wscale_from_q4_host(fc1)),
+           "bias": jnp.asarray(rs.randn(H).astype(np.float32) * 0.1)}
+    fc2 = {**{k: jnp.asarray(v) for k, v in fc2.items()},
+           "wscale": jnp.asarray(wscale_from_q4_host(fc2)),
+           "bias": jnp.asarray(rs.randn(K).astype(np.float32) * 0.1)}
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32) * 0.5)
+
+    got = np.asarray(w4a8_ffn_gelu(fc1, fc2, x, interpret=True))
+    assert got.shape == (M, K)
+
+    # Unfused reference: same kernels, float hidden + per-row requant.
+    from diffusionkit_tpu.ops.w8a8 import ActQuant
+
+    h = w4a8_linear(fc1, x, interpret=True)
+    g = jax.nn.gelu(h, approximate=False)
+    x8, xs = quantize_activations(g)
+    y_ref = np.asarray(w4a8_linear(fc2, ActQuant(x8, xs, g), interpret=True))
+    # Both paths share the exact weight grids; they differ only in the
+    # hidden activation's int8 scale granularity (per (row, n-tile) vs
+    # per row) and GELU rounding. Hidden magnitudes ~O(1).
+    err = np.abs(got - y_ref)
+    scale = np.abs(y_ref).max()
+    assert err.max() <= 0.05 * scale, (err.max(), scale)
+
+    # And against the float math end to end (both are quantized: loose gate).
+    w1 = _dequant_np(jax.tree.map(np.asarray, {k: fc1[k] for k in ("q4", "scales", "zeros")}))
+    w2 = _dequant_np(jax.tree.map(np.asarray, {k: fc2[k] for k in ("q4", "scales", "zeros")}))
+    ref = jax.nn.gelu(np.asarray(x) @ w1 + np.asarray(fc1["bias"]), approximate=False)
+    ref = np.asarray(ref) @ w2 + np.asarray(fc2["bias"])
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.08, rel
