@@ -343,8 +343,162 @@ def pick_m_block(m: int, bk: int, bn: int) -> int:
     return best
 
 
+def dequant_w8(q4: jnp.ndarray, s8: jnp.ndarray, z8: jnp.ndarray) -> jnp.ndarray:
+    """XLA reference for dequant_w8_pallas (CPU path and parity tests):
+    the same unpack + requant-FMA chain as ``_requant_w8``, as fused XLA
+    elementwise ops."""
+    k8, n = q4.shape
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, :, None]
+    vals = (q4[:, None, :] >> shifts) & jnp.uint32(0xF)
+    q = vals.reshape(k8 * 8, n).astype(jnp.int32).astype(jnp.float32)
+    groups = s8.shape[0]
+    g = (k8 * 8) // groups
+    scales = jnp.broadcast_to(
+        s8.astype(jnp.float32)[:, None, :], (groups, g, n)
+    ).reshape(k8 * 8, n)
+    zeros = jnp.broadcast_to(
+        z8.astype(jnp.float32)[:, None, :], (groups, g, n)
+    ).reshape(k8 * 8, n)
+    return jnp.clip(jnp.round(q * scales + zeros), -127, 127).astype(jnp.int8)
+
+
+def _dequant_kernel(q_ref, s_ref, z_ref, o_ref, *, group_size: int):
+    o_ref[...] = _requant_w8(q_ref, s_ref, z_ref, group_size)
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "bn", "interpret"))
+def dequant_w8_pallas(
+    q4: jnp.ndarray,
+    s8: jnp.ndarray,
+    z8: jnp.ndarray,
+    bk: int = 1024,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Materialize the per-channel int8 weight grid from packed int4 as ONE
+    Pallas pass over the weights: reads K*N/2 packed bytes, writes K*N int8
+    (~0.07 ms of HBM at FLUX fc1 shape) with the unpack+requant FMA on the
+    VPU. Bit-identical grid to the fused kernel's in-tile ``_requant_w8``.
+
+    Feeding the result to an int8 matmul runs the dequant exactly once per
+    (weight, step) instead of once per m-block inside the fused kernel —
+    at M=4352/bm=1088 that was 4 full VPU passes, ~40% of the fused kernel's
+    time (see w4a8_apply for the measured A/B).
+    """
+    k8, n = q4.shape
+    k = k8 * 8
+    groups = s8.shape[0]
+    group_size = k // groups
+    assert bk % group_size == 0 and k % bk == 0 and n % bn == 0, (k, n, bk, bn)
+    gper = bk // group_size
+    return pl.pallas_call(
+        functools.partial(_dequant_kernel, group_size=group_size),
+        grid=(k // bk, n // bn),
+        in_specs=[
+            pl.BlockSpec((bk // 8, bn), lambda kk, j: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda kk, j: (kk, j)),
+            pl.BlockSpec((gper, bn), lambda kk, j: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bk, bn), lambda kk, j: (kk, j)),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n,
+            bytes_accessed=k8 * n * 4 + 2 * gper * (k // bk) * n * 4 + k * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q4, s8.astype(jnp.float32), z8.astype(jnp.float32))
+
+
+def _kernel_w8(
+    x_ref,       # (bm, bk) int8
+    w_ref,       # (bk, bn) int8 — materialized weight grid
+    ws_ref,      # (1, bn) f32
+    xs_ref,      # (bm, 128) f32
+    b_ref,       # (1, bn) f32
+    o_ref,       # (bm, bn) out dtype
+    acc_ref,     # (bm, bn) int32 scratch
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * xs_ref[:, 0:1] * ws_ref[...]
+            + b_ref[...]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bk", "bn", "out_dtype", "interpret")
+)
+def w8_matmul(
+    x8: jnp.ndarray,
+    w8: jnp.ndarray,
+    wscale: jnp.ndarray,
+    xscale: jnp.ndarray,
+    bias: jnp.ndarray,
+    bm: int = 1024,
+    bk: int = 1024,
+    bn: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """y = (x8 @ w8) * xscale * wscale + bias with a materialized int8
+    weight grid (dequant_w8_pallas): int8 MXU dot, int32 VMEM accumulator,
+    in-kernel dequant epilogue (the int32 never reaches HBM — the XLA
+    dot_general equivalent writes the (M, N) int32 to HBM and re-reads it
+    for the rescale, ~0.5 ms at FLUX fc1)."""
+    m, k = x8.shape
+    _, n = w8.shape
+    assert k % bk == 0 and n % bn == 0, (k, n, bk, bn)
+    xs = jnp.broadcast_to(xscale.astype(jnp.float32).reshape(m, 1), (m, 128))
+    pad_m = (-m) % bm
+    if pad_m:
+        x8 = jnp.pad(x8, ((0, pad_m), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_m), (0, 0)))
+    mp = x8.shape[0]
+    out = pl.pallas_call(
+        _kernel_w8,
+        grid=(mp // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 128), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * (n // bn) + (mp // bm) * k * n + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, w8, wscale.reshape(1, -1).astype(jnp.float32), xs,
+      bias.reshape(1, -1).astype(jnp.float32))
+    return out[:m]
+
+
 def wscale_from_q4_host(p) -> "jnp.ndarray":
-    """Per-channel int8-grid scale for an int4 group-affine param dict,
+    """Per-channel int8-grid scale for an int4 param dict,
     computed from the exact dequantized extrema (host numpy)."""
     import numpy as np
 

@@ -203,6 +203,42 @@ def test_w4a8_linear_accepts_shared_actquant():
     np.testing.assert_array_equal(got, base)
 
 
+def test_materialized_w8_path_bit_identical():
+    """dequant_w8_pallas == the XLA reference unpack, and the materialized
+    int8 apply (w8_matmul) is bit-identical to the fused w4a8_matmul — the
+    two dataflows share the exact requant grid, so the TPU dispatch can pick
+    either on speed alone."""
+    from diffusionkit_tpu.ops.w4a8_matmul import (
+        _scaled_affine,
+        dequant_w8,
+        dequant_w8_pallas,
+        w8_matmul,
+    )
+
+    rs = np.random.RandomState(7)
+    K, N, M = 256, 256, 48
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p["bias"] = None
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(p))
+    s8, z8, ws, bias = _scaled_affine(p)
+    w8x = dequant_w8(jnp.asarray(p["q4"]), s8, z8)
+    w8p = dequant_w8_pallas(
+        jnp.asarray(p["q4"]), s8, z8, bk=128, bn=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(w8x), np.asarray(w8p))
+    x8, xs = quantize_activations(jnp.asarray(rs.randn(M, K), jnp.float32))
+    y_fused = w4a8_matmul(
+        x8, jnp.asarray(p["q4"]), s8, z8, ws, xs, bias,
+        bm=16, bk=128, bn=128, out_dtype=jnp.float32, interpret=True,
+    )
+    y_mat = w8_matmul(
+        x8, w8p, ws, xs, bias,
+        bm=16, bk=128, bn=128, out_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(y_fused), np.asarray(y_mat))
+
+
 def test_quantizer_tracked_wscale_matches_host_recompute():
     """with_wscale=True: the per-channel int8-grid scale tracked during
     packing (native) or computed from the unpacked codes (numpy fallback)
