@@ -304,6 +304,8 @@ def test_flash_attention_bshd_static_variants():
         (256, 128, 128, 256),   # single tile, no mask
         (300, 128, 128, 128),   # streaming, masked
         (300, 64, 384, 384),    # single tile, masked, pack=2 (SD3 d=64)
+        (500, 128, 256, 512),   # single tile, masked, row-split interleave
+        (512, 64, 256, 512),    # single tile, no mask, pack=2 + interleave
     ):
         scale = d**-0.5
         q = rs.randn(1, s, 3, d).astype(np.float32)
