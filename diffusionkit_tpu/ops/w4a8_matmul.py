@@ -709,6 +709,11 @@ def w4a8_ffn_gelu(fc1, fc2, x, interpret: bool = False) -> jnp.ndarray:
     g1 = k1 // fc1["scales"].shape[-2]
     g2 = n1 // fc2["scales"].shape[-2]
     bk1, bn1 = _pick_kn_blocks(k1, n1, g1)
+    import os
+
+    env_bn1 = os.environ.get("DIFFUSIONKIT_TPU_FFN_BN1")  # e2e sweep knob
+    if env_bn1 and n1 % int(env_bn1) == 0:
+        bn1 = int(env_bn1)
     m = 1
     for dim in lead:
         m *= dim
@@ -728,12 +733,26 @@ def w4a8_ffn_gelu(fc1, fc2, x, interpret: bool = False) -> jnp.ndarray:
     from .int4_matmul import _largest_divisor_block
     from .chip import scale_budget
 
-    bn2 = _largest_divisor_block(n2, 128, 1024)
-    while bk2 * bn2 * 9 > scale_budget(6 << 20) and bn2 > 128 and n2 % (bn2 // 2) == 0:
-        bn2 //= 2
+    # Joint (bn2, bm2) pick: a wide bn2 that passes the VMEM guard can still
+    # lose by shrinking bm under pick_m_block's budget — at FLUX fc2
+    # (m=4352, bk2=512) bn2=1024 forces bm=896 (5 dequant passes + 3% row
+    # pad, measured 1.62 ms/call) while bn2=512 admits the bm=1088 sweet
+    # spot (4 passes, exact tiling). Evaluate pick_m_block's cost across
+    # bn2 candidates instead of guarding VMEM alone.
+    mp2 = h8.shape[0]
+    best = None
+    bn_c = _largest_divisor_block(n2, 128, 1024)
+    while bn_c >= 128 and n2 % bn_c == 0:
+        if bk2 * bn_c * 9 <= scale_budget(6 << 20):
+            bm_c = pick_m_block(mp2, bk2, bn_c)
+            ru = -(-mp2 // bm_c) * bm_c
+            cost = ru + (ru // bm_c) * 150
+            if best is None or cost < best[0]:
+                best = (cost, bn_c, bm_c)
+        bn_c //= 2
     # h8 keeps fc1's row padding (valid scales in the pad rows); pass the
     # padded m through and slice once at the end.
-    bm2 = pick_m_block(h8.shape[0], bk2, bn2)
+    _, bn2, bm2 = best
     s82, z82, ws2, b2 = _scaled_affine(fc2)
     y = w4a8_matmul(
         h8, fc2["q4"], s82, z82, ws2, hs, b2,

@@ -200,6 +200,12 @@ def dump_fusion_bodies(top_ops, out_txt):
         o["op"].split(" ")[0] for o in top_ops
         if o["cat"] not in ("custom-call",)
     ][:14]
+    # Custom-call instruction lines too: their operand shapes attribute each
+    # w4a8_matmul.N / flash call to a concrete GEMM (dual img vs txt vs
+    # unified, M/K/N) without guessing from occurrence counts.
+    names += [
+        o["op"].split(" ")[0] for o in top_ops if o["cat"] == "custom-call"
+    ][:14]
     with open(out_txt, "w") as f:
         for name in names:
             # The instruction line (inside some computation) names its fused
