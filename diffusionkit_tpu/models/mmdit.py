@@ -40,7 +40,7 @@ from ..ops.common import (
     unpatchify_sd3,
 )
 from ..ops.norms import modulated_layer_norm, rms_norm
-from ..ops.rope import apply_rope, rope_frequencies
+from ..ops.rope import apply_rope, rms_norm_rope, rope_frequencies
 
 Params = Dict[str, Any]
 
@@ -139,18 +139,33 @@ def _mod_ln_maybe_quant(
     return modulated_layer_norm(x, shift, scale, eps)
 
 
-def _qkv(block: Params, x, config: MMDiTConfig):
-    """Project to per-head q, k, v; apply QK-RMSNorm when configured.
+def _qkv(block: Params, x, config: MMDiTConfig, rope=None):
+    """Project to per-head q, k, v; apply QK-RMSNorm and RoPE when configured.
 
     The key projection has no bias — redundant under softmax invariance
     (reference mmdit.py:820-823). ``x`` may be a shared ActQuant.
+
+    ``rope`` is an optional (cos, sin) pair already broadcast-shaped for
+    (b, s, h, d) — when present alongside QK-norm the two run as ONE fused
+    fp32 chain (ops/rope.rms_norm_rope): the separate-call form rounds to the
+    model dtype between norm and rotation and cost ~25 ms/step of extra
+    XLA passes on the FLUX 1024² profile.
     """
     q = _split_heads(linear(block["q"], x), config.num_heads)
     k = _split_heads(linear(block["k"], x), config.num_heads)
     v = _split_heads(linear(block["v"], x), config.num_heads)
     if config.use_qk_norm:
-        q = rms_norm(q, block["qk_norm"]["q_scale"])
-        k = rms_norm(k, block["qk_norm"]["k_scale"])
+        if rope is not None:
+            cos, sin = rope
+            q = rms_norm_rope(q, block["qk_norm"]["q_scale"], cos, sin)
+            k = rms_norm_rope(k, block["qk_norm"]["k_scale"], cos, sin)
+        else:
+            q = rms_norm(q, block["qk_norm"]["q_scale"])
+            k = rms_norm(k, block["qk_norm"]["k_scale"])
+    elif rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
     return q, k, v
 
 
@@ -209,23 +224,23 @@ def _mm_block(
     img_h = _mod_ln_maybe_quant(bp["img"]["q"], img, img_mods[0], img_mods[1], eps)
     txt_h = _mod_ln_maybe_quant(bp["txt"]["q"], txt, txt_mods[0], txt_mods[1], eps)
 
-    q_i, k_i, v_i = _qkv(bp["img"], img_h, config)
-    q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
-
     img_len = img.shape[1]
     txt_len = txt.shape[1]
     if config.depth_unified > 0:
+        # FLUX text tokens carry all-zero (id, y, x) positions
+        # (reference mmdit.py:865-876), so their rotation is the
+        # identity (cos=1, sin=0 by construction — pinned by
+        # test_ops.test_rope_text_positions_are_identity). Rotating only the
+        # image branch BEFORE the joint concat (inside _qkv, fused with the
+        # QK-RMSNorm) lets XLA fuse qk-norm+rope into one pass per branch
+        # instead of the materialize-concat-rotate chain, and skips the
+        # text rows.
+        rope_img = None
         if rope is not None:
-            # FLUX text tokens carry all-zero (id, y, x) positions
-            # (reference mmdit.py:865-876), so their rotation is the
-            # identity (cos=1, sin=0 by construction — pinned by
-            # test_ops.test_rope_text_positions_are_identity). Rotating only the
-            # image branch BEFORE the joint concat lets XLA fuse
-            # qk-norm+rope into one pass per branch instead of the
-            # materialize-concat-rotate chain, and skips the text rows.
             cos, sin = rope
-            q_i = apply_rope(q_i, cos[txt_len:, None, :], sin[txt_len:, None, :])
-            k_i = apply_rope(k_i, cos[txt_len:, None, :], sin[txt_len:, None, :])
+            rope_img = (cos[txt_len:, None, :], sin[txt_len:, None, :])
+        q_i, k_i, v_i = _qkv(bp["img"], img_h, config, rope_img)
+        q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
         # FLUX order: text first (reference mmdit.py:594-606). Sequence is
         # axis 1 in the bshd layout.
         q = jnp.concatenate([q_t, q_i], axis=1)
@@ -233,6 +248,8 @@ def _mm_block(
         v = jnp.concatenate([v_t, v_i], axis=1)
     else:
         # SD3 order: image first (reference mmdit.py:607-625).
+        q_i, k_i, v_i = _qkv(bp["img"], img_h, config)
+        q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
         q = jnp.concatenate([q_i, q_t], axis=1)
         k = jnp.concatenate([k_i, k_t], axis=1)
         v = jnp.concatenate([v_i, v_t], axis=1)
@@ -285,11 +302,11 @@ def _unified_block(
     n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
     mods = _ada(bp, c, n_mod, mesh)
     h = _mod_ln_maybe_quant(bp["q"], x, mods[0], mods[1], eps)
-    q, k, v = _qkv(bp, h, config)
+    rope_b = None
     if rope is not None:
         cos, sin = rope
-        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
-        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+        rope_b = (cos[:, None, :], sin[:, None, :])
+    q, k, v = _qkv(bp, h, config, rope_b)
     o = _merge_heads(
         sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl,
              mesh=mesh, layout="bshd")
