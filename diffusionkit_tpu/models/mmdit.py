@@ -145,27 +145,51 @@ def _qkv(block: Params, x, config: MMDiTConfig, rope=None):
     The key projection has no bias — redundant under softmax invariance
     (reference mmdit.py:820-823). ``x`` may be a shared ActQuant.
 
-    ``rope`` is an optional (cos, sin) pair already broadcast-shaped for
-    (b, s, h, d) — when present alongside QK-norm the two run as ONE fused
-    fp32 chain (ops/rope.rms_norm_rope): the separate-call form rounds to the
-    model dtype between norm and rotation and cost ~25 ms/step of extra
-    XLA passes on the FLUX 1024² profile.
+    ``rope`` is an optional raw (cos, sin) pair of (S, head_dim/2) tables
+    matching x's sequence rows. With QK-norm present the two run as ONE
+    fused fp32 chain — in the w4a8 kernel's epilogue when eligible
+    (ops/w4a8_matmul.w4a8_qk_linear: the standalone chain was ~25 ms/step of
+    VPU passes at FLUX 1024²), else as ops/rope.rms_norm_rope (the
+    separate-call form rounds to the model dtype between norm and rotation).
     """
+    if rope is not None and config.use_qk_norm:
+        from ..ops.w4a8_matmul import w4a8_qk_eligible, w4a8_qk_linear
+
+        if w4a8_qk_eligible(block["q"], config.head_dim) and w4a8_qk_eligible(
+            block["k"], config.head_dim
+        ):
+            cos, sin = rope
+            q = w4a8_qk_linear(
+                block["q"], x, block["qk_norm"]["q_scale"], cos, sin
+            )
+            k = w4a8_qk_linear(
+                block["k"], x, block["qk_norm"]["k_scale"], cos, sin
+            )
+            v = linear(block["v"], x)
+            return (
+                _split_heads(q, config.num_heads),
+                _split_heads(k, config.num_heads),
+                _split_heads(v, config.num_heads),
+            )
     q = _split_heads(linear(block["q"], x), config.num_heads)
     k = _split_heads(linear(block["k"], x), config.num_heads)
     v = _split_heads(linear(block["v"], x), config.num_heads)
     if config.use_qk_norm:
         if rope is not None:
             cos, sin = rope
-            q = rms_norm_rope(q, block["qk_norm"]["q_scale"], cos, sin)
-            k = rms_norm_rope(k, block["qk_norm"]["k_scale"], cos, sin)
+            q = rms_norm_rope(
+                q, block["qk_norm"]["q_scale"], cos[:, None, :], sin[:, None, :]
+            )
+            k = rms_norm_rope(
+                k, block["qk_norm"]["k_scale"], cos[:, None, :], sin[:, None, :]
+            )
         else:
             q = rms_norm(q, block["qk_norm"]["q_scale"])
             k = rms_norm(k, block["qk_norm"]["k_scale"])
     elif rope is not None:
         cos, sin = rope
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+        k = apply_rope(k, cos[:, None, :], sin[:, None, :])
     return q, k, v
 
 
@@ -238,7 +262,7 @@ def _mm_block(
         rope_img = None
         if rope is not None:
             cos, sin = rope
-            rope_img = (cos[txt_len:, None, :], sin[txt_len:, None, :])
+            rope_img = (cos[txt_len:], sin[txt_len:])
         q_i, k_i, v_i = _qkv(bp["img"], img_h, config, rope_img)
         q_t, k_t, v_t = _qkv(bp["txt"], txt_h, config)
         # FLUX order: text first (reference mmdit.py:594-606). Sequence is
@@ -302,11 +326,7 @@ def _unified_block(
     n_mod = 3 if config.parallel_mlp_for_unified_blocks else 6
     mods = _ada(bp, c, n_mod, mesh)
     h = _mod_ln_maybe_quant(bp["q"], x, mods[0], mods[1], eps)
-    rope_b = None
-    if rope is not None:
-        cos, sin = rope
-        rope_b = (cos[:, None, :], sin[:, None, :])
-    q, k, v = _qkv(bp, h, config, rope_b)
+    q, k, v = _qkv(bp, h, config, rope)
     o = _merge_heads(
         sdpa(q, k, v, scale=1.0 / (config.head_dim**0.5), impl=sdpa_impl,
              mesh=mesh, layout="bshd")

@@ -166,6 +166,65 @@ def _kernel_gelu_quant(
             )
 
 
+def _kernel_norm_rope(
+    x_ref,       # (bm, bk) int8
+    q_ref,       # (bk/8, bn) uint32 packed int4
+    s_ref,       # (bk/g, bn) f32
+    z_ref,       # (bk/g, bn) f32
+    ws_ref,      # (1, bn) f32
+    xs_ref,      # (bm, 128) f32
+    b_ref,       # (1, bn) f32
+    nw_ref,      # (1, bn) f32 — QK-RMSNorm weight tiled per head
+    cs_ref,      # (bm, 256) f32 — [cos|cos] in lanes 0:128, [-sin|sin] in 128:256
+    o_ref,       # (bm, bn) out dtype
+    acc_ref,     # (bm, bn) int32 scratch
+    *,
+    group_size: int,
+    eps: float,
+    interp: bool,
+):
+    """w4a8 matmul whose epilogue applies per-head QK-RMSNorm + rotate-half
+    RoPE before the write — the q/k projection -> norm -> rope handoff of the
+    FLUX blocks as ONE kernel. The standalone XLA form of that chain is
+    ~25 ms/step of VPU passes at FLUX 1024² (r4 profile: subtract_convert /
+    rope-convert / concat fusions); here it rides the epilogue where the MXU
+    and the dequant FMA dominate. Requires head_dim == 128 (one lane tile per
+    head): the norm statistics reduce over each 128-lane segment and the
+    rotation is a 64-lane roll — out = yn*[cos|cos] + roll(yn,64)*[-sin|sin],
+    identical to ops/rope.rms_norm_rope's split-half form.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w8 = _requant_w8(q_ref, s_ref, z_ref, group_size)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w8, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        y = (
+            acc_ref[...].astype(jnp.float32) * xs_ref[:, 0:1] * ws_ref[...]
+            + b_ref[...]
+        )
+        cos2 = cs_ref[:, 0:128]
+        sin2 = cs_ref[:, 128:256]
+        for j in range(y.shape[-1] // 128):
+            sl = slice(j * 128, (j + 1) * 128)
+            seg = y[:, sl]
+            ms = jnp.mean(seg * seg, axis=-1, keepdims=True)
+            yn = seg * jax.lax.rsqrt(ms + eps) * nw_ref[:, sl]
+            if interp:  # pltpu.roll has no interpret lowering
+                rolled = jnp.concatenate([yn[:, 64:], yn[:, :64]], axis=-1)
+            else:
+                rolled = pltpu.roll(yn, 64, 1)
+            o_ref[:, sl] = (yn * cos2 + rolled * sin2).astype(o_ref.dtype)
+
+
 def _kernel_grouped_xs(
     x_ref,       # (bm, bk) int8 — activations quantized per (row, k-tile)
     q_ref,       # (bk/8, bn) uint32 packed int4
@@ -203,7 +262,8 @@ def _kernel_grouped_xs(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bm", "bk", "bn", "out_dtype", "interpret", "mode")
+    jax.jit,
+    static_argnames=("bm", "bk", "bn", "out_dtype", "interpret", "mode", "eps"),
 )
 def w4a8_matmul(
     x8: jnp.ndarray,
@@ -219,6 +279,9 @@ def w4a8_matmul(
     out_dtype=jnp.float32,
     interpret: bool = False,
     mode: str = "plain",
+    norm_w: jnp.ndarray = None,
+    rope_cs: jnp.ndarray = None,
+    eps: float = 1e-6,
 ):
     """y[M, N] = (x8 @ round(q * s8 + z8)) * xscale * wscale + bias.
 
@@ -238,6 +301,10 @@ def w4a8_matmul(
       "grouped_xs"  xscale is (M, (K/bk)*128) per (row, k-tile) — each
                     k-tile's exact int32 partial dot is rescaled into an f32
                     accumulator.
+      "norm_rope"   per-row xscale; the epilogue applies per-head (128-lane)
+                    QK-RMSNorm with weight ``norm_w`` (N,) and rotate-half
+                    RoPE from ``rope_cs`` (M, 256) = [cos|cos|-sin|sin]
+                    (_kernel_norm_rope). head_dim must be 128.
     """
     m, k = x8.shape
     k8, n = q4.shape
@@ -263,7 +330,23 @@ def w4a8_matmul(
         "plain": _kernel,
         "gelu_quant": _kernel_gelu_quant,
         "grouped_xs": _kernel_grouped_xs,
+        "norm_rope": _kernel_norm_rope,
     }[mode]
+    if mode == "norm_rope":
+        assert norm_w is not None and rope_cs is not None
+        assert bn % 128 == 0 and rope_cs.shape == (m, 256), (rope_cs.shape, m)
+        kernel = functools.partial(kernel, eps=eps, interp=interpret)
+        cs = jnp.pad(rope_cs.astype(jnp.float32), ((0, pad_m), (0, 0)))
+        extra_in = [
+            norm_w.reshape(1, -1).astype(jnp.float32),
+            cs,
+        ]
+        extra_specs = [
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((bm, 256), lambda i, j, kk: (i, 0)),
+        ]
+    else:
+        extra_in, extra_specs = [], []
     if mode == "gelu_quant":
         out_specs = (
             pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
@@ -294,7 +377,7 @@ def w4a8_matmul(
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
             xs_spec,
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
-        ],
+        ] + extra_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
         out_shape=out_shape,
@@ -309,13 +392,13 @@ def w4a8_matmul(
         interpret=interpret,
     )(x8, q4, s8.astype(jnp.float32), z8.astype(jnp.float32),
       wscale.reshape(1, -1).astype(jnp.float32), xs,
-      bias.reshape(1, -1).astype(jnp.float32))
+      bias.reshape(1, -1).astype(jnp.float32), *extra_in)
     if mode == "gelu_quant":
         return out  # (y8 (mp, n), yscale (mp, nt*128)) — padded rows kept
     return out[:m]
 
 
-def pick_m_block(m: int, bk: int, bn: int) -> int:
+def pick_m_block(m: int, bk: int, bn: int, extra_row_bytes: int = 0) -> int:
     """M block for the quantized kernels.
 
     The weight tile is unpacked+dequantized once per M block, so large bm
@@ -334,7 +417,7 @@ def pick_m_block(m: int, bk: int, bn: int) -> int:
     bm_cap = scale_budget(1088)
     best, best_cost = 256, float("inf")
     for c in range(128, bm_cap + 1, 64):
-        if c * (2 * bk + 4 * bn + 512) > budget:
+        if c * (2 * bk + 4 * bn + 512 + extra_row_bytes) > budget:
             break
         ru = -(-m // c) * c
         cost = ru + (ru // c) * 150
@@ -629,6 +712,96 @@ def w4a8_linear(
         # +20 ms/step at FLUX scale — it widens the fused elementwise pass).
         # In-kernel erf was tried and lost (VMEM; see _kernel epilogue note).
         y = jax.nn.gelu(y, approximate=False)
+    return y.reshape(*lead, n)
+
+
+def w4a8_qk_eligible(p, head_dim: int, interpret: bool = False) -> bool:
+    """True when a q/k projection can run with the fused QK-RMSNorm + RoPE
+    epilogue (w4a8_qk_linear): w4a8 params, head_dim exactly one lane tile
+    (128 — the epilogue reduces per 128-lane segment and rolls by 64), and a
+    Mosaic-legal block pick. DIFFUSIONKIT_TPU_FUSED_QK toggles (default off
+    until the on-chip A/B at the FLUX shape lands; =1 enables)."""
+    import os
+
+    if os.environ.get("DIFFUSIONKIT_TPU_FUSED_QK", "0") == "0":
+        return False
+    if head_dim != 128:
+        return False
+    if not (isinstance(p, dict) and p.get("q4") is not None
+            and p.get("wscale") is not None and p["q4"].ndim == 2):
+        return False
+    if not interpret:
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:  # pragma: no cover
+            return False
+    k = p["q4"].shape[0] * 8
+    n = p["q4"].shape[-1]
+    group = k // p["scales"].shape[-2]
+    bk, bn = _pick_kn_blocks(k, n, group)
+    return bool(bk) and bn % 128 == 0 and n % bn == 0
+
+
+def w4a8_qk_linear(
+    p,
+    x,
+    norm_w: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k projection with QK-RMSNorm + rotate-half RoPE fused into the w4a8
+    epilogue (mode="norm_rope"): the standalone norm->rope chain after the
+    projection was ~25 ms/step of XLA VPU passes at FLUX 1024² (r4 profile).
+
+    x: (..., K) float or shared ActQuant; norm_w: (head_dim,) RMSNorm weight;
+    cos/sin: (S, head_dim/2) fp32 tables for the S rows of x (dual-block
+    image branches pass the image-offset slice). Returns (..., N) in the
+    model dtype, numerically rms_norm_rope(linear(p, x)) computed on the f32
+    epilogue value (no intermediate model-dtype rounding).
+    """
+    from .w8a8 import ActQuant, quantize_activations
+
+    preq = x if isinstance(x, ActQuant) else None
+    if preq is not None:
+        lead, k, out_dtype = preq.shape[:-1], preq.shape[-1], preq.dtype
+    else:
+        lead, k, out_dtype = x.shape[:-1], x.shape[-1], x.dtype
+    n = p["q4"].shape[-1]
+    group = k // p["scales"].shape[-2]
+    bk, bn = _pick_kn_blocks(k, n, group)
+    m = 1
+    for dim in lead:
+        m *= dim
+    # cs rows ride VMEM per m-block (f32, double-buffered): 256*4*2 B/row.
+    bm = pick_m_block(m, bk, bn, extra_row_bytes=2048)
+    s8, z8, ws, bias = _scaled_affine(p)
+    nw = jnp.tile(norm_w.astype(jnp.float32), n // norm_w.shape[-1])
+    cs_row = jnp.concatenate(
+        [cos, cos, -sin, sin], axis=-1
+    ).astype(jnp.float32)  # (S, 256)
+    s_rows = cs_row.shape[0]
+    if m != s_rows:  # batched rows: (b, S) -> tile the table
+        assert m % s_rows == 0, (m, s_rows)
+        cs_row = jnp.tile(cs_row, (m // s_rows, 1))
+    if preq is not None:
+        x8 = preq.x8.reshape(-1, k)
+        xscale = preq.xscale.reshape(-1, 1)
+    else:
+        from .fused_quant import fused_eligible, quantize as fused_quantize
+
+        if fused_eligible(k) and not interpret:
+            aq = fused_quantize(x.reshape(-1, k))
+            x8, xscale = aq.x8, aq.xscale
+        else:
+            x8, xscale = quantize_activations(x.reshape(-1, k))
+    y = w4a8_matmul(
+        x8, p["q4"], s8, z8, ws, xscale, bias,
+        bm=bm, bk=bk, bn=bn, out_dtype=out_dtype, interpret=interpret,
+        mode="norm_rope", norm_w=nw, rope_cs=cs_row, eps=eps,
+    )
     return y.reshape(*lead, n)
 
 

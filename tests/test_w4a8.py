@@ -313,3 +313,61 @@ def test_w4a8_ffn_gelu_fused_matches_unfused():
     ref = np.asarray(ref) @ w2 + np.asarray(fc2["bias"])
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.08, rel
+
+
+def test_w4a8_qk_linear_norm_rope_matches_unfused():
+    """mode="norm_rope" (fused QK-RMSNorm + rotate-half RoPE epilogue) ==
+    rms_norm_rope applied per head to the plain w4a8 output in f32."""
+    from diffusionkit_tpu.ops.rope import rms_norm_rope
+    from diffusionkit_tpu.ops.w4a8_matmul import w4a8_qk_eligible, w4a8_qk_linear
+
+    rs = np.random.RandomState(7)
+    K, N, M, D = 256, 256, 48, 128  # 2 heads of d=128
+    H = N // D
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = add_wscale_tree(quantize_kernel_host(w, bits=4, group_size=64))
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    norm_w = jnp.asarray(rs.rand(D).astype(np.float32) + 0.5)
+    ang = rs.rand(M, D // 2).astype(np.float32) * 6.28
+    cos, sin = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+    x = jnp.asarray(rs.randn(1, M, K).astype(np.float32))
+
+    import os
+
+    os.environ["DIFFUSIONKIT_TPU_FUSED_QK"] = "1"
+    try:
+        assert w4a8_qk_eligible(p, D, interpret=True)
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_FUSED_QK"]
+    got = np.asarray(
+        w4a8_qk_linear(p, x, norm_w, cos, sin, interpret=True)
+    )
+
+    y = w4a8_linear(p, x, interpret=True)  # (1, M, N) f32
+    ref = np.asarray(
+        rms_norm_rope(
+            y.reshape(1, M, H, D), norm_w, cos[:, None, :], sin[:, None, :]
+        )
+    ).reshape(1, M, N)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_w4a8_qk_eligible_gates():
+    """d!=128, missing wscale, and the env toggle all refuse the fused
+    path (the model then falls back to the XLA rms_norm_rope chain)."""
+    import os
+
+    from diffusionkit_tpu.ops.w4a8_matmul import w4a8_qk_eligible
+
+    rs = np.random.RandomState(3)
+    w = rs.randn(256, 256).astype(np.float32) * 0.05
+    p = add_wscale_tree(quantize_kernel_host(w, bits=4, group_size=64))
+    assert not w4a8_qk_eligible(p, 128, interpret=True)  # default off
+    os.environ["DIFFUSIONKIT_TPU_FUSED_QK"] = "1"
+    try:
+        assert w4a8_qk_eligible(p, 128, interpret=True)
+        assert not w4a8_qk_eligible(p, 64, interpret=True)  # SD3.5 head size
+        p_nows = {k: v for k, v in p.items() if k != "wscale"}
+        assert not w4a8_qk_eligible(p_nows, 128, interpret=True)
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_FUSED_QK"]
