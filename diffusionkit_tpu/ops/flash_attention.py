@@ -207,10 +207,11 @@ def _flash_kernel_bshd(
     subtracts m — instead of a standalone multiply over the score matrix;
     and ``single_tile=True`` (one kv program: the whole sequence fits the
     score budget) is a straight softmax with no m/l/acc scratch, no init
-    pass and no rescale. Measured after: the gains are KERNEL-LOCAL and
-    within noise at the full-step level (BENCH_r02 37.18 -> BENCH_r03
-    37.9 ms/step, i.e. no end-to-end win at SD3 512²; kept because the
-    masked long-seq shapes do benefit and nothing regressed).
+    pass and no rescale. Measured: kernel-local in round 3 (BENCH_r03 37.9
+    ms/step, within noise of r02's 37.18); the round-4 combination with the
+    row-split interleave below and the fused float AdaLN-LN landed the SD3
+    512² step at 31.6 ms (58% MFU) and FLUX 1024² w4a8 flash at ~1.56
+    ms/call (89 ms of the 398 ms step).
 
     Precondition: ``scale > 0``. Masking relies on ``exp((NEG_INF - m) *
     scale)`` underflowing to zero, which flips sign for negative scale
