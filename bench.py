@@ -102,31 +102,42 @@ def bench_sd3():
         )
 
     cfg = jnp.asarray(5.0, jnp.float32)
-    # Per-step dispatch chain FIRST: the scan path donates the latent buffer.
-    per_step_ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
-    latent = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32)
+    # The driver runs bench.py COLD-CACHE under a hard timeout; the default
+    # run compiles exactly ONE program (the shipping use_scan path).
+    # BENCH_PER_STEP=1 additionally times the per-step dispatch chain (a
+    # second compile — builder diagnostics only; round 4's always-on second
+    # compile blew the driver budget, BENCH_r04.json rc=124).
+    per_step_ms = None
+    if os.environ.get("BENCH_PER_STEP", "0") == "1":
+        # Per-step chain FIRST: the scan path donates the latent buffer.
+        per_step_ms = _chain_time(step, latent, NUM_STEPS_TIMED) * 1000
+        latent = jnp.asarray(
+            np.random.RandomState(0).randn(1, 64, 64, 16), jnp.float32
+        )
     ms = _scan_time(params, latent, config, cond, pooled, cfg, True,
                     NUM_STEPS_TIMED) * 1000
     s_image = ms * 50 / 1000  # 50-step headline config
     flops = mmdit_step_flops(config, (64, 64), 154, cfg=True)["total"]
     tflops, mfu = _mfu(flops, ms)
+    extra = {
+        "s_per_image_50step": round(s_image, 3),
+        "images_per_min_per_chip": round(60.0 / s_image, 3),
+        "step_tflop": round(flops / 1e12, 2),
+        "achieved_tflops": tflops,
+        "mfu": mfu,
+        "timed_steps": NUM_STEPS_TIMED,
+        "timing_path": "use_scan whole-schedule (pipeline default)",
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    if per_step_ms is not None:
+        extra["per_step_dispatch_ms"] = round(per_step_ms, 2)
     return {
         "metric": "sd3_medium_512_cfg_denoise_ms_per_step",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(100.0 / ms, 3),
-        "extra": {
-            "s_per_image_50step": round(s_image, 3),
-            "images_per_min_per_chip": round(60.0 / s_image, 3),
-            "step_tflop": round(flops / 1e12, 2),
-            "achieved_tflops": tflops,
-            "mfu": mfu,
-            "timed_steps": NUM_STEPS_TIMED,
-            "timing_path": "use_scan whole-schedule (pipeline default)",
-            "per_step_dispatch_ms": round(per_step_ms, 2),
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
 
 
@@ -387,6 +398,12 @@ def bench_flux_e2e():
 
 
 def main():
+    # Persistent XLA compile cache: the direct-to-_denoise_scan modes never
+    # construct a DiffusionPipeline (which enables it in its ctor), so without
+    # this the driver's cold run recompiles everything AND saves nothing.
+    from diffusionkit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     mode = os.environ.get("BENCH_MODEL", "sd3")
     fn = {
         "flux-int4": bench_flux_int4,
