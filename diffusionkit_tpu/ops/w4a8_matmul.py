@@ -885,8 +885,19 @@ def w4a8_ffn_gelu(fc1, fc2, x, interpret: bool = False) -> jnp.ndarray:
     import os
 
     env_bn1 = os.environ.get("DIFFUSIONKIT_TPU_FFN_BN1")  # e2e sweep knob
-    if env_bn1 and n1 % int(env_bn1) == 0:
-        bn1 = int(env_bn1)
+    if env_bn1:
+        # Validate against the same constraints w4a8_ffn_eligible applied to
+        # the auto pick (bk2 = bn1): fc2's group size must tile it in
+        # sublane multiples of 8, and the (bk2, bn) VMEM guard must still be
+        # satisfiable — an unchecked override would trip w4a8_matmul's
+        # bk % group_size assert mid-pipeline (ADVICE r4).
+        cand = int(env_bn1)
+        if (
+            n1 % cand == 0
+            and cand % g2 == 0
+            and (cand // g2) % 8 == 0
+        ):
+            bn1 = cand
     m = 1
     for dim in lead:
         m *= dim
@@ -923,6 +934,12 @@ def w4a8_ffn_gelu(fc1, fc2, x, interpret: bool = False) -> jnp.ndarray:
             if best is None or cost < best[0]:
                 best = (cost, bn_c, bm_c)
         bn_c //= 2
+    if best is None:
+        # No candidate passed the VMEM guard (a low DIFFUSIONKIT_TPU_VMEM_SCALE
+        # override or an unswept chip entry): degrade to the smallest legal
+        # bn rather than crash (ADVICE r4).
+        bn_c = _largest_divisor_block(n2, 128, 128)
+        best = (0, bn_c, pick_m_block(mp2, bk2, bn_c))
     # h8 keeps fc1's row padding (valid scales in the pad rows); pass the
     # padded m through and slice once at the end.
     _, bn2, bm2 = best
