@@ -32,8 +32,9 @@ Params = Dict[str, Any]
 
 # Revision of the quantize-at-load algorithm, embedded in disk-cache keys
 # (model_io.quant_cache_path) so cached execution trees regenerate when the
-# math changes. 2 = ALS-refined f16-stored grid (round 4).
-QUANT_VERSION = 2
+# math changes. 2 = ALS-refined f16-stored grid (round 4); 3 = GPTQ
+# Hessian-compensated 4-bit default (ops/gptq.py, round 5).
+QUANT_VERSION = 3
 
 
 # ---------------------------------------------------------------------------

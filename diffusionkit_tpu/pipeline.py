@@ -425,10 +425,14 @@ class DiffusionPipeline:
                     self.local_ckpt,
                 )
                 refine = os.environ.get("DIFFUSIONKIT_TPU_QUANT_REFINE", "1")
+                gptq_flag = (
+                    "1" if os.environ.get("DIFFUSIONKIT_TPU_GPTQ", "1") != "0"
+                    else "0"
+                )
                 tag = (
                     f"mmdit_{self.model_version}_{self.quantize_mmdit}"
                     f"_g{self.quantize_group_size}_{self.dtype.__name__}"
-                    f"_q{QUANT_VERSION}_r{refine}"
+                    f"_q{QUANT_VERSION}_r{refine}_gptq{gptq_flag}"
                 )
                 cache = model_io.quant_cache_path(tag, src)
             except Exception:
@@ -478,16 +482,42 @@ class DiffusionPipeline:
                 if self.model_version not in model_io.QUANTIZED_CKPT:
                     from .ops.quantized import MIXED_OVERRIDES, quantize_tree
 
-                    params = quantize_tree(
-                        params,
-                        bits=8 if mode == "int8" else 4,
-                        group_size=self.quantize_group_size,
-                        overrides=MIXED_OVERRIDES if mixed else None,
-                        # w4a8 needs the per-channel int8-grid scale; the
-                        # native quantizer tracks the exact max|dequant|
-                        # during packing so no second nibble-unpack pass.
-                        with_wscale=mode == "w4a8",
-                    )
+                    bits = 8 if mode == "int8" else 4
+                    done = False
+                    if bits == 4 and os.environ.get(
+                        "DIFFUSIONKIT_TPU_GPTQ", "1"
+                    ) != "0":
+                        # GPTQ (ops/gptq.py): Hessian-compensated int4 on a
+                        # self-contained calibration set — the round-5
+                        # default for 4-bit quantize-at-load. Falls back to
+                        # the data-free ALS grid on any failure so serving
+                        # never breaks on an exotic config.
+                        try:
+                            from .ops.gptq import gptq_quantize_mmdit
+
+                            params = gptq_quantize_mmdit(
+                                params, self.mmdit_config, bits=4,
+                                group_size=self.quantize_group_size,
+                                overrides=MIXED_OVERRIDES if mixed else None,
+                                with_wscale=mode == "w4a8",
+                            )
+                            done = True
+                        except Exception as e:
+                            logger.warning(
+                                "GPTQ quantization failed (%s); "
+                                "falling back to the ALS grid", e,
+                            )
+                    if not done:
+                        params = quantize_tree(
+                            params,
+                            bits=bits,
+                            group_size=self.quantize_group_size,
+                            overrides=MIXED_OVERRIDES if mixed else None,
+                            # w4a8 needs the per-channel int8-grid scale; the
+                            # native quantizer tracks the exact max|dequant|
+                            # during packing so no second nibble-unpack pass.
+                            with_wscale=mode == "w4a8",
+                        )
                 if mode == "w4a8":
                     # int4 HBM footprint + int8 MXU rate (ops/w4a8_matmul.py).
                     # Fills wscale only where the quantizer didn't already

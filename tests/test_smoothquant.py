@@ -88,6 +88,51 @@ def test_smoothing_beats_plain_w8a8_on_outliers():
     assert err_smooth < 0.7 * err_plain, (err_smooth, err_plain)
 
 
+def test_outlier_db_margin_and_absolute_floor():
+    """The quantified form of the serving claim (VERDICT round 4, task #4):
+    on a T5 with heavy-tailed outlier channels (2 of 32 × 100 — the regime
+    real T5-XXL's residual stream is known for, ops/smoothquant.py
+    docstring), SmoothQuant-on must beat SmoothQuant-off by a DOCUMENTED
+    output-SNR margin. SNR is measured on the NON-outlier channels: the
+    outlier channels dominate both the per-token int8 scale (the failure
+    mechanism) and the output norm (which would hide the damage in a
+    whole-tensor ratio).
+
+    Measured at this config (seed 1): plain w8a8 37.1 dB, smoothed 40.8 dB,
+    bf16-rounding ceiling 53.7 dB — gates at margin ≥ 3 dB and smoothed
+    ≥ 39 dB absolute so a calibration regression cannot hide in the older
+    mean-abs ratio check above."""
+    from diffusionkit_tpu.ops.w8a8 import w8a8_tree
+
+    channels = (3, 17)
+    params = _inject_outliers(
+        _host_tree(init_t5_params(jax.random.PRNGKey(1), CFG, jnp.float32)),
+        channels=channels, factor=100.0,
+    )
+    tokens = _tokens(seed=3)
+    want = np.asarray(apply_t5_encoder(params, jnp.asarray(tokens), CFG))
+    keep = np.array([c for c in range(CFG.d_model) if c not in channels])
+
+    def snr_db(got):
+        w, g = want[..., keep], got[..., keep]
+        return 20.0 * np.log10(
+            np.linalg.norm(w) / max(np.linalg.norm(g - w), 1e-12)
+        )
+
+    plain = snr_db(np.asarray(
+        apply_t5_encoder(w8a8_tree(params, min_size=1), jnp.asarray(tokens), CFG)
+    ))
+    stats = t5_calibration_stats_host(params, _tokens(seed=4), CFG)
+    smoothed_tree = w8a8_tree(
+        smoothquant_fold_t5_host(params, stats, alpha=0.5), min_size=1
+    )
+    smooth = snr_db(np.asarray(
+        apply_t5_encoder(smoothed_tree, jnp.asarray(tokens), CFG)
+    ))
+    assert smooth - plain >= 3.0, (smooth, plain)
+    assert smooth >= 39.0, smooth
+
+
 def test_smooth_t5_end_to_end_without_tokenizer():
     """smooth_t5's no-tokenizer fallback path produces a working tree."""
     from diffusionkit_tpu.ops.smoothquant import smooth_t5
