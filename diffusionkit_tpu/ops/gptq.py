@@ -12,17 +12,31 @@ Hessian H = XᵀX. Storage is UNCHANGED: the same MLX-affine
 every downstream consumer (ops/int4_matmul, ops/w4a8_matmul, dequant
 fallback, TP sharding rules, disk cache) works untouched.
 
+TPU-native execution: this box (like most TPU VMs used for serving) has
+few host cores — a 12288² float64 inverse takes minutes on one core — so
+the WHOLE quantizer runs on the accelerator. The calibration mirror, the
+per-site Hessians (in-jit XᵀX), the H⁻¹ Cholesky, the group-serial GPTQ
+recursion (a ``lax.scan`` over weight groups with an in-group row scan and
+one tail GEMM per group) are all jitted; the host only packs nibbles and
+assembles the tree. Layers stream one at a time — per-layer weight slices
+are device_put on demand and every device buffer is layer-transient, so
+12B-class models quantize within a few GB of HBM. A numpy reference
+implementation (gptq_quantize_kernel) is kept as the parity oracle.
+
 Calibration is self-contained (no text encoders needed at quantize time):
 noisy latents on the sampler's sigma ladder with the reference's
 numpy-NCHW noise convention, synthetic conditioning with the real layout
 (SD3: CLIP rows padded 2048→4096 + zero T5 rows, matching use_t5=False;
 FLUX: dense T5-shaped rows), and a dense (timestep × pooled) ladder for the
 AdaLN site — every block's ada GEMV reads the SAME silu(c) vectors, so one
-exact low-rank Hessian covers them all. The per-site input Hessians come
-from a float "mirror" of the block forward (same ops: _ada/_qkv/
-modulated_layer_norm/sdpa) executed layer by layer OUTSIDE lax.scan so the
-site activations are observable; tests/test_gptq.py pins the mirror's
-output equal to apply_mmdit so it cannot drift from the model.
+Hessian covers them all exactly. Sites whose inference-time input direction
+is unknowable at quantize time (pooled CLIP outputs, prompt embeddings) get
+their Hessians topped up to full rank with random rows, so GPTQ cannot park
+error where a real prompt lands. The per-site inputs come from a float
+"mirror" of the block forward (same ops: _ada/_qkv/modulated_layer_norm/
+sdpa) executed layer by layer OUTSIDE lax.scan so the site activations are
+observable; tests/test_gptq.py pins the mirror's output equal to
+apply_mmdit so calibration cannot drift from the model.
 
 Why this matters most for ada: the "-mixed" modes showed plain int4's
 quality loss concentrates in the AdaLN GEMVs (their output error rescales
@@ -33,6 +47,7 @@ most of the mixed-mode quality without leaving the uniform-int4 contract.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -51,9 +66,16 @@ Params = Dict[str, Any]
 # so the GPTQ tree is a drop-in for the ALS tree.
 MIN_SIZE = 1 << 16
 
+# Host-side best-of-both guard only below this contraction dim: the guard's
+# H-weighted error is an O(in²·out) host GEMM — cheap for the small
+# embedder mats it exists for (near-isotropic white-noise inputs, where
+# compensation buys nothing), prohibitive on this box's single core for the
+# block mats (whose oversampled Hessians make GPTQ reliably ≥ ALS).
+GUARD_MAX_IN = 512
+
 
 # ---------------------------------------------------------------------------
-# Core GPTQ kernel quantizer (host, numpy)
+# Core GPTQ kernel quantizer — numpy reference (parity oracle + fallback)
 # ---------------------------------------------------------------------------
 
 
@@ -102,7 +124,8 @@ def gptq_quantize_kernel(
 ) -> Params:
     """GPTQ-quantize one (in, out) kernel given its input Hessian H (in, in).
 
-    Row order = input (contraction) dimension, matching the group-affine
+    numpy reference of the jitted device core (_gptq_core) — same algorithm:
+    row order = input (contraction) dimension, matching the group-affine
     storage layout (scales/zeros per (in/gs, out)). Per row i:
       err_i = (w_i - dequant(q_i)) / U_ii ;  w_{j>i} -= U_ij · err_i
     with U the upper Cholesky factor of H⁻¹ (arXiv:2210.17323 Alg. 1,
@@ -158,21 +181,152 @@ def gptq_quantize_kernel(
         if p1 < in_dim:
             w[p1:] -= U[p0:p1, p1:].T @ err
 
+    return _emit(Q, scales, zeros, bits, group_size, with_wscale)
+
+
+def _emit(Q, scales, zeros, bits, group_size, with_wscale) -> Params:
+    """Pack (Q, scales, zeros) into the quantize_kernel_host schema."""
     out: Params = {
-        "scales": scales.astype(np.float16),
-        "zeros": zeros.astype(np.float16),
+        "scales": np.asarray(scales).astype(np.float16),
+        "zeros": np.asarray(zeros).astype(np.float16),
     }
+    Q = np.asarray(Q)
     if bits == 4:
         out["q4"] = pack_int4_host(Q)
     else:
         out["q8"] = Q
     if with_wscale:
-        deq = Q.astype(np.float32) * np.repeat(scales, group_size, axis=0)
-        deq += np.repeat(zeros, group_size, axis=0)
+        deq = Q.astype(np.float32) * np.repeat(
+            out["scales"].astype(np.float32), group_size, axis=0
+        )
+        deq += np.repeat(out["zeros"].astype(np.float32), group_size, axis=0)
         out["wscale"] = (
             np.maximum(np.abs(deq).max(0), 1e-8) / 127.0
         ).astype(np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Core GPTQ kernel quantizer — jitted device implementation
+# ---------------------------------------------------------------------------
+
+
+def _fit_grid_jax(g: jnp.ndarray, qmax: int, iters: int = 8):
+    """In-jit ALS grid fit for one (gs, out) group slab (float-level mirror
+    of _fit_group_grid; f16-rounded winning grid)."""
+    n = jnp.float32(g.shape[0])
+    wmin, wmax = g.min(axis=0), g.max(axis=0)
+    sw = g.sum(axis=0)
+    s = jnp.maximum((wmax - wmin) / qmax, 1e-8)
+    z = wmin
+    best_s, best_z = s, z
+    best_e = jnp.full(s.shape, jnp.inf, jnp.float32)
+    for it in range(iters + 1):
+        q = jnp.clip(jnp.round((g - z[None]) / s[None]), 0, qmax)
+        e = ((s[None] * q + z[None] - g) ** 2).sum(axis=0)
+        better = e < best_e
+        best_s = jnp.where(better, s, best_s)
+        best_z = jnp.where(better, z, best_z)
+        best_e = jnp.where(better, e, best_e)
+        if it == iters:
+            break
+        sq = q.sum(axis=0)
+        sqq = (q * q).sum(axis=0)
+        swq = (g * q).sum(axis=0)
+        denom = n * sqq - sq * sq
+        s_new = (n * swq - sq * sw) / jnp.where(denom > 1e-10, denom, 1.0)
+        accept = (denom > 1e-10) & (s_new > 1e-8)
+        s = jnp.where(accept, s_new, s)
+        z = jnp.where(accept, (sw - s_new * sq) / n, z)
+    best_s = jnp.maximum(
+        best_s.astype(jnp.float16).astype(jnp.float32), 6.1e-8
+    )
+    best_z = best_z.astype(jnp.float16).astype(jnp.float32)
+    return best_s, best_z
+
+
+@functools.lru_cache(maxsize=None)
+def _gptq_core(in_dim: int, out_dim: int, gs: int, qmax: int,
+               damp: float = 0.01):
+    """Build the jitted device GPTQ core for one kernel shape.
+
+    The recursion runs as a ``lax.scan`` over weight groups: ALS grid fit,
+    an inner row scan with in-group compensation, then ONE (in × gs × out)
+    GEMM pushing the group's error onto all remaining rows — the blocked
+    form of GPTQ Alg. 1 with panel == group. All matrix work (inverse,
+    Cholesky, updates) happens on the device; a degenerate Cholesky
+    (non-PSD after f32 round-off) degrades U to the identity, which reduces
+    the algorithm to the plain per-group ALS grid rather than failing.
+    """
+    n_groups = in_dim // gs
+    iota_gs = jnp.arange(gs)
+    iota_in = jnp.arange(in_dim)
+
+    def fn(w: jnp.ndarray, H: jnp.ndarray):
+        w = w.astype(jnp.float32)
+        H = H.astype(jnp.float32)
+        diag = jnp.diagonal(H)
+        dead = diag <= 0
+        H = H + jnp.diag(jnp.where(dead, 1.0 - diag, 0.0))
+        w = jnp.where(dead[:, None], 0.0, w)
+        H = H + (damp * jnp.maximum(jnp.mean(diag), 1e-12)) * jnp.eye(
+            in_dim, dtype=jnp.float32
+        )
+        Hinv = jnp.linalg.inv(H)
+        Hinv = (Hinv + Hinv.T) * 0.5
+        U = jnp.linalg.cholesky(Hinv).T  # upper: H⁻¹ = UᵀU
+        ok = jnp.all(jnp.isfinite(U))
+        U = jnp.where(ok, U, jnp.eye(in_dim, dtype=jnp.float32))
+
+        def gbody(w, gi):
+            g0 = gi * gs
+            wg = jax.lax.dynamic_slice(w, (g0, 0), (gs, out_dim))
+            s, z = _fit_grid_jax(wg, qmax)
+            ublk = jax.lax.dynamic_slice(U, (g0, 0), (gs, in_dim))
+            ugg = jax.lax.dynamic_slice(ublk, (0, g0), (gs, gs))
+            dvals = jnp.take_along_axis(
+                ugg, iota_gs[:, None], axis=1
+            )[:, 0]
+
+            def rbody(carry, i):
+                wg, err = carry
+                wi = jax.lax.dynamic_index_in_dim(wg, i, 0, keepdims=False)
+                q = jnp.clip(jnp.round((wi - z) / s), 0, qmax)
+                e = (wi - (s * q + z)) / dvals[i]
+                urow = jax.lax.dynamic_index_in_dim(ugg, i, 0, keepdims=False)
+                mask = (iota_gs > i).astype(jnp.float32)
+                wg = wg - (urow * mask)[:, None] * e[None, :]
+                err = jax.lax.dynamic_update_slice(err, e[None], (i, 0))
+                return (wg, err), q
+
+            (wg, err), qg = jax.lax.scan(
+                rbody, (wg, jnp.zeros((gs, out_dim), jnp.float32)), iota_gs
+            )
+            # Tail update: only columns (= input rows) past this group; U's
+            # triangularity already zeroes everything before it.
+            um = ublk * (iota_in[None, :] >= g0 + gs).astype(jnp.float32)
+            w = w - um.T @ err
+            return w, (qg, s.astype(jnp.float16), z.astype(jnp.float16))
+
+        _, (Q, S, Z) = jax.lax.scan(gbody, w, jnp.arange(n_groups))
+        return Q.reshape(in_dim, out_dim).astype(jnp.uint8), S, Z
+
+    return jax.jit(fn)
+
+
+def gptq_quantize_kernel_jax(
+    w, H, bits: int = 4, group_size: int = 32, with_wscale: bool = False,
+) -> Params:
+    """Device-executed GPTQ for one kernel. ``w``/``H`` may be host or
+    device arrays (any float dtype); returns the host param dict."""
+    in_dim, out_dim = w.shape
+    assert in_dim % group_size == 0
+    fn = _gptq_core(in_dim, out_dim, group_size, 2**bits - 1)
+    Q, S, Z = fn(jnp.asarray(w), jnp.asarray(H))
+    return _emit(
+        np.asarray(Q), np.asarray(S), np.asarray(Z), bits, group_size,
+        with_wscale,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -226,14 +380,16 @@ def calib_batch(
 # ---------------------------------------------------------------------------
 
 
-def _f16(x):
-    return x.astype(jnp.float16)
+def _site_h(x: jnp.ndarray) -> jnp.ndarray:
+    """Input Hessian XᵀX of one site's activations (f32, stays on device)."""
+    x = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    return x.T @ x
 
 
 def _mirror_prologue(params, config: MMDiTConfig, latent, cond, pooled, t,
                      guidance=None):
     """Embedding prologue, mirroring models/mmdit._apply_mmdit_body:406-447
-    with float math. Returns (x, txt, c, patch_site)."""
+    with float math. Returns (x, txt, c, H_patch)."""
     from .common import mlp_silu
 
     p = config.patch_size
@@ -263,13 +419,14 @@ def _mirror_prologue(params, config: MMDiTConfig, latent, cond, pooled, t,
                 guidance, config.frequency_embed_dim, config.max_period
             ),
         )
-    return x, txt, c, patch
+    return x, txt, c, _site_h(patch)
 
 
 def _mirror_mm_layer(bp, img, txt, c, rope, config: MMDiTConfig,
                      final_skip_text: bool = False):
     """Float dual-stream block, site-observable (mirrors models/mmdit._mm_block
-    :227-307 exactly — pinned by tests/test_gptq.py mirror-parity)."""
+    :227-307 exactly — pinned by tests/test_gptq.py mirror-parity). Returns
+    (img', txt', {site: input Hessian})."""
     from ..models.mmdit import _ada, _merge_heads, _qkv
     from ..ops.attention import sdpa
     from ..ops.rope import apply_rope
@@ -317,8 +474,9 @@ def _mirror_mm_layer(bp, img, txt, c, rope, config: MMDiTConfig,
     img3 = img2 + img_mods[5] * linear(bp["img"]["fc2"], g_img)
 
     sites = {
-        "img_qkv": _f16(img_h), "txt_qkv": _f16(txt_h),
-        "img_o": _f16(o_img), "img_fc1": _f16(h2_img), "img_fc2": _f16(g_img),
+        "img_qkv": _site_h(img_h), "txt_qkv": _site_h(txt_h),
+        "img_o": _site_h(o_img), "img_fc1": _site_h(h2_img),
+        "img_fc2": _site_h(g_img),
     }
     if final_skip_text:
         return img3, txt, sites
@@ -327,7 +485,8 @@ def _mirror_mm_layer(bp, img, txt, c, rope, config: MMDiTConfig,
     g_txt = linear(bp["txt"]["fc1"], h2_txt, act="gelu")
     txt3 = txt2 + txt_mods[5] * linear(bp["txt"]["fc2"], g_txt)
     sites.update({
-        "txt_o": _f16(o_txt), "txt_fc1": _f16(h2_txt), "txt_fc2": _f16(g_txt),
+        "txt_o": _site_h(o_txt), "txt_fc1": _site_h(h2_txt),
+        "txt_fc2": _site_h(g_txt),
     })
     return img3, txt3, sites
 
@@ -349,7 +508,9 @@ def _mirror_uni_layer(bp, u, c, rope, config: MMDiTConfig):
     )
     g = linear(bp["fc1"], h, act="gelu")
     out = u + mods[2] * (linear(bp["o"], o) + linear(bp["fc2"], g))
-    sites = {"qkv": _f16(h), "o": _f16(o), "fc2": _f16(g)}
+    # Parallel-MLP blocks: fc1 reads the same modulated-LN tensor as q/k/v
+    # (models/mmdit._unified_block:334-335) — one Hessian serves both.
+    sites = {"qkv": _site_h(h), "o": _site_h(o), "fc2": _site_h(g)}
     return out, sites
 
 
@@ -364,14 +525,14 @@ def _mirror_epilogue(params, config: MMDiTConfig, x, c, latent_hw):
         out = unpack_flux(out, latent_hw, p)
     else:
         out = unpatchify_sd3(out, latent_hw, p, config.vae_latent_dim)
-    return out, _f16(xh)
+    return out, _site_h(xh)
 
 
 def mirror_forward(params, config: MMDiTConfig, latent, cond, pooled, t,
                    guidance=None):
     """Full mirror forward (no quantization) — the parity surface tests pin
     against models.apply_mmdit. Runs every layer through the same per-layer
-    functions the Hessian collector uses."""
+    functions the quantizer uses."""
     from ..models.mmdit import tree_index
     from ..ops.rope import rope_frequencies
 
@@ -409,33 +570,22 @@ def mirror_forward(params, config: MMDiTConfig, latent, cond, pooled, t,
 
 
 # ---------------------------------------------------------------------------
-# Hessian collection + tree assembly
+# Global-site Hessians (conditioning-vector ladder)
 # ---------------------------------------------------------------------------
 
 
-def _acc(H: Dict[str, np.ndarray], key: str, site) -> None:
-    """Accumulate H[key] += XᵀX from a fetched f16 site activation."""
-    x = np.asarray(site, np.float32).reshape(-1, np.asarray(site).shape[-1])
-    h = x.T @ x
-    if key in H:
-        H[key] += h
-    else:
-        H[key] = h
-
-
 def _dense_c_hessians(params, config: MMDiTConfig, pooled: np.ndarray,
-                      H: Dict[str, np.ndarray], n_t: int = 64,
-                      seed: int = 17) -> None:
-    """Exact Hessians for the conditioning-vector sites: the t/y/guidance
-    embedder MLPs and the shared AdaLN input silu(c). Every block's ada GEMV
-    reads the SAME c rows, so one dense (timestep × pooled) ladder covers
-    them all.
+                      n_t: int = 64, seed: int = 17) -> Dict[str, jnp.ndarray]:
+    """Hessians for the conditioning-vector sites: the t/y/guidance embedder
+    MLPs and the shared AdaLN input silu(c). Every block's ada GEMV reads
+    the SAME c rows, so one dense (timestep × pooled) ladder covers them
+    all.
 
     The pooled direction at inference (a CLIP pooled output) is unknown at
-    quantize time, so y_fc1's Hessian must cover the full pooled space —
-    the batch's few rows are topped up with random rows past the input
-    dimension (a rank-deficient H here would park GPTQ's error exactly where
-    a real prompt lands)."""
+    quantize time, so y_fc1's Hessian is topped up past full rank with
+    random rows (a rank-deficient H here would park GPTQ's error exactly
+    where a real prompt lands)."""
+    H: Dict[str, jnp.ndarray] = {}
     ts = jnp.asarray(np.linspace(10.0, 1000.0, n_t).astype(np.float32))
     femb = timestep_embedding(ts, config.frequency_embed_dim, config.max_period)
     h1_t = jax.nn.silu(linear(params["t_embedder"]["fc1"], femb))
@@ -448,8 +598,8 @@ def _dense_c_hessians(params, config: MMDiTConfig, pooled: np.ndarray,
     )
     h1_y = jax.nn.silu(linear(params["y_embedder"]["fc1"], pooled_j))
     yemb = linear(params["y_embedder"]["fc2"], h1_y)
-    # ada ladder: all timesteps × a pooled subsample (full cross product at
-    # d_pool+ rows would be quadratic for no added span).
+    # ada ladder: all timesteps × a pooled subsample (the full cross product
+    # at d_pool+ rows would be quadratic for no added span).
     yemb_sub = yemb[:: max(1, yemb.shape[0] // 48)][:48]
     c_all = (temb[:, None, :] + yemb_sub[None, :, :]).reshape(
         -1, temb.shape[-1]
@@ -459,122 +609,25 @@ def _dense_c_hessians(params, config: MMDiTConfig, pooled: np.ndarray,
         gf = timestep_embedding(gs, config.frequency_embed_dim, config.max_period)
         h1_g = jax.nn.silu(linear(params["guidance_embedder"]["fc1"], gf))
         gemb = linear(params["guidance_embedder"]["fc2"], h1_g)
-        c_all = (c_all[:, None, :] + gemb[None, : 2, :]).reshape(
+        c_all = (c_all[:, None, :] + gemb[None, :2, :]).reshape(
             -1, temb.shape[-1]
         )
-        _acc(H, "g_fc1", gf)
-        _acc(H, "g_fc2", h1_g)
-    _acc(H, "t_fc1", femb)
-    _acc(H, "t_fc2", h1_t)
-    _acc(H, "y_fc1", pooled_j)
-    _acc(H, "y_fc2", h1_y)
-    _acc(H, "ada", jax.nn.silu(c_all))
-
-
-def mmdit_site_hessians(
-    params, config: MMDiTConfig, batch: Dict[str, np.ndarray]
-) -> Dict[str, np.ndarray]:
-    """Run the float mirror over the calibration batch and return input
-    Hessians keyed "<family>.<layer>.<site>" plus the global sites
-    ("ada", "x_embedder", "context_embedder", "t_fc1", …, "final").
-
-    ``params`` may live on host; per-layer slices are device_put on demand so
-    12B-class trees never need to be device-resident in full.
-    """
-    from ..models.mmdit import tree_index
-    from ..ops.rope import rope_frequencies
-
-    H: Dict[str, np.ndarray] = {}
-    dev = jax.devices()[0]
-
-    def put(tree):
-        return jax.tree.map(
-            lambda a: jax.device_put(a, dev) if a is not None else None, tree
-        )
-
-    small = put({k: params[k] for k in (
-        "x_embedder", "context_embedder", "t_embedder", "y_embedder",
-        "final_layer",
-    ) if k in params})
-    if "pos_embed" in params:
-        small["pos_embed"] = jax.device_put(params["pos_embed"], dev)
-    if "guidance_embedder" in params:
-        small["guidance_embedder"] = put(params["guidance_embedder"])
-
-    latent = jnp.asarray(batch["latent"], jnp.float32)
-    cond = jnp.asarray(batch["cond"], jnp.float32)
-    pooled = jnp.asarray(batch["pooled"], jnp.float32)
-    t = jnp.asarray(batch["t"], jnp.float32)
-
-    prologue = jax.jit(
-        lambda p, l, cd, pl, tt: _mirror_prologue(p, config, l, cd, pl, tt)
-    )
-    x, txt, c, patch = prologue(small, latent, cond, pooled, t)
-    _acc(H, "x_embedder", patch)
-    _acc(H, "context_embedder", batch["cond"])
-    # Top the context-embedder Hessian up to full rank over the ACTIVE dims
-    # (a real prompt's embedding direction is unknown at quantize time; see
-    # _dense_c_hessians). Rows keep the family's structured layout.
-    d_txt = config.token_level_text_embed_dim
-    active = d_txt if config.depth_unified > 0 else min(2048, d_txt)
-    rs = np.random.RandomState(23)
-    extra = np.zeros((active + 128, d_txt), np.float32)
-    extra[:, :active] = rs.randn(active + 128, active)
-    _acc(H, "context_embedder", extra)
-    _dense_c_hessians(small, config, batch["pooled"], H)
-
-    rope = None
-    if config.pos_embed_type != PositionalEncoding.LearnedInputEmbedding:
-        p = config.patch_size
-        rope = rope_frequencies(
-            (latent.shape[1] // p, latent.shape[2] // p), txt.shape[1],
-            config.rope_axes_dim, theta=10000,
-        )
-
-    mm_step = jax.jit(
-        lambda bp, img, tx, cc: _mirror_mm_layer(bp, img, tx, cc, rope, config)
-    )
-    n_uniform = config.depth_multimodal - (1 if config.depth_unified == 0 else 0)
-    for i in range(n_uniform):
-        bp = put(tree_index(params["mm_blocks"], i))
-        x, txt, sites = mm_step(bp, x, txt, c)
-        for name, site in sites.items():
-            _acc(H, f"mm.{i}.{name}", site)
-    if config.depth_unified == 0:
-        final_step = jax.jit(
-            lambda bp, img, tx, cc: _mirror_mm_layer(
-                bp, img, tx, cc, rope, config, final_skip_text=True
-            )
-        )
-        x, _, sites = final_step(put(params["mm_final"]), x, txt, c)
-        for name, site in sites.items():
-            _acc(H, f"mmf.{name}", site)
-    else:
-        u = jnp.concatenate([txt, x], axis=1)
-        uni_step = jax.jit(
-            lambda bp, uu, cc: _mirror_uni_layer(bp, uu, cc, rope, config)
-        )
-        for i in range(config.depth_unified):
-            bp = put(tree_index(params["uni_blocks"], i))
-            u, sites = uni_step(bp, u, c)
-            for name, site in sites.items():
-                _acc(H, f"uni.{i}.{name}", site)
-            # Parallel-MLP blocks: fc1 reads the same modulated-LN tensor as
-            # q/k/v (models/mmdit._unified_block:334-335).
-            H[f"uni.{i}.fc1"] = H[f"uni.{i}.qkv"]
-        x = u[:, txt.shape[1] :]
-
-    epi = jax.jit(
-        lambda p, xx, cc: _mirror_epilogue(
-            p, config, xx, cc, (latent.shape[1], latent.shape[2])
-        )
-    )
-    _, xh = epi(small, x, c)
-    _acc(H, "final", xh)
+        H["g_fc1"] = _site_h(gf)
+        H["g_fc2"] = _site_h(h1_g)
+    H["t_fc1"] = _site_h(femb)
+    H["t_fc2"] = _site_h(h1_t)
+    H["y_fc1"] = _site_h(pooled_j)
+    H["y_fc2"] = _site_h(h1_y)
+    H["ada"] = _site_h(jax.nn.silu(c_all))
     return H
 
 
-def _eligible(kernel: np.ndarray, group_size: int) -> bool:
+# ---------------------------------------------------------------------------
+# Streaming tree quantization
+# ---------------------------------------------------------------------------
+
+
+def _eligible(kernel, group_size: int) -> bool:
     return (
         kernel.ndim == 2
         and kernel.size >= MIN_SIZE
@@ -603,27 +656,42 @@ def _h_weighted_err(w: np.ndarray, p: Params, H: np.ndarray) -> float:
 
 
 def _quantize_mat(
-    p: Params, Hmat: Optional[np.ndarray], bits: int, group_size: int,
-    with_wscale: bool,
+    p: Params, Hmat, bits: int, group_size: int, with_wscale: bool,
 ) -> Params:
-    kernel = np.asarray(jax.device_get(p["kernel"]), np.float32)
+    """Quantize one {"kernel","bias"} dict. ``Hmat`` may be a device array
+    (preferred — the GPTQ core consumes it in place) or None (data-free ALS).
+    """
+    kernel = p["kernel"]
     if not _eligible(kernel, group_size):
-        return p
-    ws = with_wscale and bits == 4
-    out = quantize_kernel_host(kernel, bits, group_size, with_wscale=ws)
-    if Hmat is not None:
-        # Best-of-both guard: on near-isotropic input covariances (e.g. the
-        # x_embedder's white-noise patches) compensation buys nothing and
-        # the within-group grid drift can lose to the plain ALS fit — keep
-        # whichever candidate has lower H-weighted output error.
-        cand = gptq_quantize_kernel(
-            kernel, Hmat, bits, group_size, with_wscale=ws
+        return jax.tree.map(
+            lambda a: None if a is None else np.asarray(a), p,
+            is_leaf=lambda x: x is None,
         )
-        if _h_weighted_err(kernel, cand, Hmat) < _h_weighted_err(
-            kernel, out, Hmat
-        ):
-            out = cand
-    out["bias"] = p.get("bias")
+    ws = with_wscale and bits == 4
+    if Hmat is None:
+        out = quantize_kernel_host(
+            np.asarray(jax.device_get(kernel), np.float32), bits, group_size,
+            with_wscale=ws,
+        )
+    else:
+        out = gptq_quantize_kernel_jax(kernel, Hmat, bits, group_size,
+                                       with_wscale=ws)
+        if kernel.shape[0] <= GUARD_MAX_IN:
+            # Best-of-both guard (small mats only — see GUARD_MAX_IN): on
+            # near-isotropic input covariances (the x_embedder's white-noise
+            # patches) compensation buys nothing and the within-group grid
+            # drift can lose to the plain ALS fit.
+            w_host = np.asarray(jax.device_get(kernel), np.float32)
+            h_host = np.asarray(jax.device_get(Hmat), np.float32)
+            als = quantize_kernel_host(w_host, bits, group_size,
+                                       with_wscale=ws)
+            if _h_weighted_err(w_host, als, h_host) < _h_weighted_err(
+                w_host, out, h_host
+            ):
+                out = als
+    out["bias"] = (
+        None if p.get("bias") is None else np.asarray(p["bias"])
+    )
     return out
 
 
@@ -641,36 +709,108 @@ def gptq_quantize_mmdit(
     """Quantize an MMDiT host tree with GPTQ (drop-in for
     ops/quantized.quantize_tree over the MMDiT schema; same output schema,
     same eligibility rules, same ``overrides`` semantics as MIXED_OVERRIDES).
+
+    One streaming pass: each layer's weights are device_put, its mirror
+    step runs (producing the per-site Hessians in-jit), its matrices are
+    GPTQ-quantized on the device, the packed results come back to host and
+    every device buffer is dropped before the next layer — peak HBM stays
+    at one layer + carried activations regardless of model size.
     """
     from ..models.mmdit import tree_index
+    from ..ops.rope import rope_frequencies
 
     data = calib_batch(config, batch=batch, latent_hw=latent_hw, seed=seed)
-    H = mmdit_site_hessians(params, config, data)
-
     overrides = overrides or {}
+    dev = jax.devices()[0]
+
+    def put(tree):
+        return jax.tree.map(
+            lambda a: jax.device_put(a, dev) if a is not None else None, tree
+        )
 
     def mat_bits(name: str) -> Optional[int]:
-        if name in overrides:
-            return overrides[name]
-        return bits
+        return overrides[name] if name in overrides else bits
 
-    def q(p, Hkey, name):
+    def q(p, Hmat, name):
         b = mat_bits(name)
         if b is None or not isinstance(p, dict) or "kernel" not in p:
-            return p
-        return _quantize_mat(p, H.get(Hkey), b, group_size, with_wscale)
+            return jax.tree.map(
+                lambda a: None if a is None else np.asarray(a), p,
+                is_leaf=lambda x: x is None,
+            )
+        return _quantize_mat(p, Hmat, b, group_size, with_wscale)
 
-    def q_branch(bp, pre: str, with_mlp: bool, n_mod_site: str) -> Params:
-        out = dict(bp)
-        out["q"] = q(bp["q"], f"{pre}.{n_mod_site}qkv", "q")
-        out["k"] = q(bp["k"], f"{pre}.{n_mod_site}qkv", "k")
-        out["v"] = q(bp["v"], f"{pre}.{n_mod_site}qkv", "v")
-        out["ada"] = q(bp["ada"], "ada", "ada")
+    small = put({k: params[k] for k in (
+        "x_embedder", "context_embedder", "t_embedder", "y_embedder",
+        "final_layer",
+    ) if k in params})
+    if "pos_embed" in params:
+        small["pos_embed"] = jax.device_put(params["pos_embed"], dev)
+    if "guidance_embedder" in params:
+        small["guidance_embedder"] = put(params["guidance_embedder"])
+
+    latent = jnp.asarray(data["latent"], jnp.float32)
+    cond = jnp.asarray(data["cond"], jnp.float32)
+    pooled = jnp.asarray(data["pooled"], jnp.float32)
+    t = jnp.asarray(data["t"], jnp.float32)
+
+    prologue = jax.jit(
+        lambda p, l, cd, pl, tt: _mirror_prologue(p, config, l, cd, pl, tt)
+    )
+    x, txt, c, H_patch = prologue(small, latent, cond, pooled, t)
+    # Context-embedder Hessian: calibration rows + a top-up past full rank
+    # over the ACTIVE dims (a real prompt's embedding direction is unknown
+    # at quantize time). Rows keep the family's structured layout.
+    d_txt = config.token_level_text_embed_dim
+    active = d_txt if config.depth_unified > 0 else min(2048, d_txt)
+    rs = np.random.RandomState(23)
+    extra = np.zeros((active + 128, d_txt), np.float32)
+    extra[:, :active] = rs.randn(active + 128, active)
+    H_ctx = jax.jit(_site_h)(cond) + jax.jit(_site_h)(jnp.asarray(extra))
+    Hc = _dense_c_hessians(small, config, data["pooled"])
+
+    out: Params = {k: params[k] for k in params}
+    out["x_embedder"] = q(params["x_embedder"], H_patch, "x_embedder")
+    out["context_embedder"] = q(
+        params["context_embedder"], H_ctx, "context_embedder"
+    )
+    for emb, pre in (("t_embedder", "t"), ("y_embedder", "y"),
+                     ("guidance_embedder", "g")):
+        if emb in params:
+            out[emb] = {
+                "fc1": q(params[emb]["fc1"], Hc.get(f"{pre}_fc1"), emb),
+                "fc2": q(params[emb]["fc2"], Hc.get(f"{pre}_fc2"), emb),
+            }
+    H_ada = Hc["ada"]
+
+    rope = None
+    if config.pos_embed_type != PositionalEncoding.LearnedInputEmbedding:
+        p = config.patch_size
+        rope = rope_frequencies(
+            (latent.shape[1] // p, latent.shape[2] // p), txt.shape[1],
+            config.rope_axes_dim, theta=10000,
+        )
+
+    def q_branch(bp, Hs, pre: str, with_mlp: bool) -> Params:
+        o: Params = {}
+        for k_, v in bp.items():
+            if k_ not in ("q", "k", "v", "o", "fc1", "fc2", "ada"):
+                o[k_] = jax.tree.map(
+                    lambda a: None if a is None else np.asarray(a), v,
+                    is_leaf=lambda x: x is None,
+                )
+        o["q"] = q(bp["q"], Hs.get(f"{pre}qkv"), "q")
+        o["k"] = q(bp["k"], Hs.get(f"{pre}qkv"), "k")
+        o["v"] = q(bp["v"], Hs.get(f"{pre}qkv"), "v")
+        o["ada"] = q(bp["ada"], H_ada, "ada")
         if with_mlp and "o" in bp:
-            out["o"] = q(bp["o"], f"{pre}.{n_mod_site}o", "o")
-            out["fc1"] = q(bp["fc1"], f"{pre}.{n_mod_site}fc1", "fc1")
-            out["fc2"] = q(bp["fc2"], f"{pre}.{n_mod_site}fc2", "fc2")
-        return out
+            o["o"] = q(bp["o"], Hs.get(f"{pre}o"), "o")
+            # Parallel-MLP unified blocks share the qkv site for fc1.
+            o["fc1"] = q(
+                bp["fc1"], Hs.get(f"{pre}fc1", Hs.get(f"{pre}qkv")), "fc1"
+            )
+            o["fc2"] = q(bp["fc2"], Hs.get(f"{pre}fc2"), "fc2")
+        return o
 
     def stack_layers(per: List[Params]) -> Params:
         def join(*leaves):
@@ -680,55 +820,66 @@ def gptq_quantize_mmdit(
 
         return jax.tree.map(join, *per, is_leaf=lambda x: x is None)
 
-    out: Params = {}
-    for k in params:
-        out[k] = params[k]
-
-    # Embedders / final layer.
-    if overrides.get("x_embedder", bits) is not None:
-        out["x_embedder"] = q(params["x_embedder"], "x_embedder", "x_embedder")
-    if overrides.get("context_embedder", bits) is not None:
-        out["context_embedder"] = q(
-            params["context_embedder"], "context_embedder", "context_embedder"
-        )
-    for emb, pre in (("t_embedder", "t"), ("y_embedder", "y"),
-                     ("guidance_embedder", "g")):
-        if emb in params and overrides.get(emb, bits) is not None:
-            out[emb] = {
-                "fc1": q(params[emb]["fc1"], f"{pre}_fc1", emb),
-                "fc2": q(params[emb]["fc2"], f"{pre}_fc2", emb),
-            }
-    if overrides.get("final_layer", bits) is not None:
-        out["final_layer"] = {
-            "ada": q(params["final_layer"]["ada"], "ada", "ada"),
-            "linear": q(params["final_layer"]["linear"], "final", "final_layer"),
-        }
-
+    mm_step = jax.jit(
+        lambda bp, img, tx, cc: _mirror_mm_layer(bp, img, tx, cc, rope, config)
+    )
     n_uniform = config.depth_multimodal - (1 if config.depth_unified == 0 else 0)
     mm_layers = []
     for i in range(n_uniform):
-        bp = tree_index(params["mm_blocks"], i)
-        bp = jax.tree.map(lambda a: None if a is None else np.asarray(a), bp,
-                          is_leaf=lambda x: x is None)
+        bp = put(tree_index(params["mm_blocks"], i))
+        x, txt, Hs = mm_step(bp, x, txt, c)
         mm_layers.append({
-            "img": q_branch(bp["img"], f"mm.{i}", True, "img_"),
-            "txt": q_branch(bp["txt"], f"mm.{i}", True, "txt_"),
+            "img": q_branch(bp["img"],
+                            {k: v for k, v in Hs.items()
+                             if k.startswith("img_")}, "img_", True),
+            "txt": q_branch(bp["txt"],
+                            {k: v for k, v in Hs.items()
+                             if k.startswith("txt_")}, "txt_", True),
         })
+        del bp, Hs
     out["mm_blocks"] = stack_layers(mm_layers)
 
     if config.depth_unified == 0:
-        bp = params["mm_final"]
+        bp = put(params["mm_final"])
+        final_step = jax.jit(
+            lambda b, img, tx, cc: _mirror_mm_layer(
+                b, img, tx, cc, rope, config, final_skip_text=True
+            )
+        )
+        x, _, Hs = final_step(bp, x, txt, c)
         out["mm_final"] = {
-            "img": q_branch(bp["img"], "mmf", True, "img_"),
-            "txt": q_branch(bp["txt"], "mmf", False, "txt_"),
+            "img": q_branch(bp["img"],
+                            {k: v for k, v in Hs.items()
+                             if k.startswith("img_")}, "img_", True),
+            "txt": q_branch(bp["txt"],
+                            {k: v for k, v in Hs.items()
+                             if k.startswith("txt_")}, "txt_", False),
         }
+        del bp, Hs
     else:
+        u = jnp.concatenate([txt, x], axis=1)
+        uni_step = jax.jit(
+            lambda bp, uu, cc: _mirror_uni_layer(bp, uu, cc, rope, config)
+        )
         uni_layers = []
         for i in range(config.depth_unified):
-            bp = tree_index(params["uni_blocks"], i)
-            bp = jax.tree.map(lambda a: None if a is None else np.asarray(a),
-                              bp, is_leaf=lambda x: x is None)
-            uni_layers.append(q_branch(bp, f"uni.{i}", True, ""))
+            bp = put(tree_index(params["uni_blocks"], i))
+            u, Hs = uni_step(bp, u, c)
+            uni_layers.append(q_branch(bp, Hs, "", True))
+            del bp, Hs
         out["uni_blocks"] = stack_layers(uni_layers)
+        x = u[:, txt.shape[1] :]
 
+    epi = jax.jit(
+        lambda p, xx, cc: _mirror_epilogue(
+            p, config, xx, cc, (latent.shape[1], latent.shape[2])
+        )
+    )
+    _, H_final = epi(small, x, c)
+    out["final_layer"] = {
+        "ada": q(params["final_layer"]["ada"], H_ada, "ada"),
+        "linear": q(params["final_layer"]["linear"], H_final, "final_layer"),
+    }
+    if "final_layer" in overrides and overrides["final_layer"] is None:
+        out["final_layer"] = params["final_layer"]
     return out

@@ -91,6 +91,31 @@ def test_gptq_beats_als_on_correlated_inputs():
     assert err_gptq < err_als * 0.9, (err_gptq, err_als)
 
 
+def test_jax_core_matches_numpy_reference():
+    """The jitted device GPTQ core is the shipping path (single-host-core
+    boxes); the numpy implementation is its oracle. Float-level agreement:
+    the two linalg stacks (LAPACK f64 vs XLA f32) round differently, so
+    compare the H-weighted output error, not bits."""
+    rs = np.random.RandomState(2)
+    in_dim, out_dim, rows = 128, 192, 1024
+    mix = rs.randn(in_dim, 16) @ rs.randn(16, in_dim) / np.sqrt(in_dim)
+    X = rs.randn(rows, in_dim).astype(np.float32) @ (
+        np.eye(in_dim, dtype=np.float32) + mix.astype(np.float32)
+    )
+    W = rs.randn(in_dim, out_dim).astype(np.float32) * 0.05
+    H = X.T @ X
+    p_np = gptq.gptq_quantize_kernel(W, H, bits=4, group_size=32,
+                                     with_wscale=True)
+    p_jx = gptq.gptq_quantize_kernel_jax(W, H, bits=4, group_size=32,
+                                         with_wscale=True)
+    assert p_jx["q4"].shape == p_np["q4"].shape
+    assert p_jx["scales"].dtype == np.float16
+    e_np = np.linalg.norm(X @ (W - gptq._dequant_host(p_np, in_dim)))
+    e_jx = np.linalg.norm(X @ (W - gptq._dequant_host(p_jx, in_dim)))
+    assert e_jx <= e_np * 1.05, (e_jx, e_np)
+    assert np.allclose(p_jx["wscale"], p_np["wscale"], rtol=0.1)
+
+
 def test_gptq_grid_membership_and_wscale():
     rs = np.random.RandomState(1)
     W = rs.randn(64, 128).astype(np.float32) * 0.1
