@@ -700,6 +700,22 @@ class DiffusionPipeline:
     ):
         seed = int(time.time()) if seed is None else int(seed)
         logger.info("Seed: %s", seed)
+        # DIFFUSIONKIT_TPU_PHASE_DEBUG=1: per-section wall breakdown of the
+        # denoise phase (VERDICT r4 task #5 — attribute the e2e-vs-headline
+        # gap). Syncs after each section, so only for attribution runs.
+        dbg = os.environ.get("DIFFUSIONKIT_TPU_PHASE_DEBUG") == "1"
+        marks: List[Tuple[str, float]] = []
+        t_dbg = time.perf_counter()
+
+        def mark(name, sync=None):
+            nonlocal t_dbg
+            if not dbg:
+                return
+            if sync is not None:
+                jax.block_until_ready(sync)
+            now = time.perf_counter()
+            marks.append((name, round(now - t_dbg, 4)))
+            t_dbg = now
 
         # All pre-scan prep stays in host numpy: each eager device op is a
         # full dispatch (a ~13 ms RPC on relay-attached setups), and this
@@ -736,11 +752,13 @@ class DiffusionPipeline:
         # prediction — identical output, twice the compute — so the single
         # consistent threshold is used here.
         cfg_on = cfg_weight > 1
+        mark("host_prep")
         conditioning, pooled_conditioning = _prep_conditioning(
             conditioning, pooled_conditioning,
             cfg_on=cfg_on, num_images=num_images,
             dtype=self.mmdit_config.dtype,
         )
+        mark("prep_conditioning", sync=(conditioning, pooled_conditioning))
         g = None
         if self.mmdit_config.guidance_embed:
             g = np.float32(3.5 if guidance is None else guidance)
@@ -766,7 +784,14 @@ class DiffusionPipeline:
                 scan_chunk, noise_scaled, conditioning, pooled_conditioning,
                 num_images, per, cfg_on,
             )
+            mark("scan_dispatch")
             x.block_until_ready()
+            mark("scan_wait")
+            if dbg:
+                # The relay's block_until_ready can return early (verify
+                # skill); a 1-element device->host read is the honest sync.
+                _ = np.asarray(x[:1, :1, :1, :1])
+                mark("scan_d2h_sync")
             iter_time = [round((time.perf_counter() - t0) / max(n_iter, 1), 4)] * n_iter
         else:
             for i in range(n_iter):
@@ -793,6 +818,9 @@ class DiffusionPipeline:
             np.float32(self.latent_format.scale_factor),
             np.float32(self.latent_format.shift_factor),
         )
+        if dbg:
+            mark("process_out", sync=latent)
+            logger.info("denoise breakdown: %s", marks)
         return latent, iter_time
 
     # -- decoding / encoding (reference mlx/__init__.py:581-594) -------------
