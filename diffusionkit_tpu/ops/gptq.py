@@ -65,6 +65,9 @@ Params = Dict[str, Any]
 # Minimum kernel size / divisibility rules MUST match ops/quantized.quantize_tree
 # so the GPTQ tree is a drop-in for the ALS tree.
 MIN_SIZE = 1 << 16
+# Narrow-mat exclusion — see ops/quantized.MIN_DIM for the rationale and the
+# measured quality numbers.
+MIN_DIM = 256
 
 # Host-side best-of-both guard only below this contraction dim: the guard's
 # H-weighted error is an O(in²·out) host GEMM — cheap for the small
@@ -631,6 +634,7 @@ def _eligible(kernel, group_size: int) -> bool:
     return (
         kernel.ndim == 2
         and kernel.size >= MIN_SIZE
+        and min(kernel.shape) >= MIN_DIM
         and kernel.shape[0] % group_size == 0
     )
 

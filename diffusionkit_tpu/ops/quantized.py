@@ -33,8 +33,19 @@ Params = Dict[str, Any]
 # Revision of the quantize-at-load algorithm, embedded in disk-cache keys
 # (model_io.quant_cache_path) so cached execution trees regenerate when the
 # math changes. 2 = ALS-refined f16-stored grid (round 4); 3 = GPTQ
-# Hessian-compensated 4-bit default (ops/gptq.py, round 5).
-QUANT_VERSION = 3
+# Hessian-compensated 4-bit default (ops/gptq.py, round 5); 4 = MIN_DIM
+# structural eligibility (narrow I/O adapter mats stay float, round 5).
+QUANT_VERSION = 4
+
+# Kernels with any dimension below this stay in the float dtype. The narrow
+# I/O adapters (x_embedder: patch²·C=64 inputs; final_layer: 64 outputs) have
+# pathological group statistics — 2 int4 groups per column at g=32 — and sit
+# on the unprotected ends of the network, so they dominate pipeline error
+# while holding ~0.03% of the bytes: floating both lifted the SD3 tiny-model
+# single-step SNR from 21.4 dB to 65.5 dB at identical int4 cost everywhere
+# else. MLX ``nn.quantize`` (reference model_io.py:728-734) applies a
+# divisibility predicate only; this rule is the quality-driven deviation.
+MIN_DIM = 256
 
 
 # ---------------------------------------------------------------------------
@@ -308,11 +319,16 @@ def is_quantized(p: Params) -> bool:
 
 def quantize_linear_params(
     p: Params, bits: int = 4, group_size: int = 64, min_size: int = 1 << 16,
-    with_wscale: bool = False,
+    with_wscale: bool = False, min_dim: int = MIN_DIM,
 ) -> Params:
     """Quantise one {"kernel","bias"} linear param dict (host round trip)."""
     kernel = np.asarray(jax.device_get(p["kernel"]), dtype=np.float32)
-    if kernel.ndim != 2 or kernel.size < min_size or kernel.shape[0] % group_size:
+    if (
+        kernel.ndim != 2
+        or kernel.size < min_size
+        or min(kernel.shape) < min_dim
+        or kernel.shape[0] % group_size
+    ):
         return p
     out = quantize_kernel_host(kernel, bits, group_size,
                                with_wscale=with_wscale and bits == 4)
@@ -346,6 +362,7 @@ def quantize_tree(
     min_size: int = 1 << 16,
     overrides: Optional[Dict[str, Any]] = None,
     with_wscale: bool = False,
+    min_dim: int = MIN_DIM,
 ) -> Params:
     """Recursively quantise every eligible linear kernel in a parameter tree.
 
@@ -362,8 +379,14 @@ def quantize_tree(
             k = params["kernel"]
             if k.ndim == 2:
                 return quantize_linear_params(params, bits, group_size, min_size,
-                                              with_wscale=with_wscale)
-            if k.ndim == 3 and k.shape[1] % group_size == 0 and k[0].size >= min_size:
+                                              with_wscale=with_wscale,
+                                              min_dim=min_dim)
+            if (
+                k.ndim == 3
+                and k.shape[1] % group_size == 0
+                and k[0].size >= min_size
+                and min(k.shape[1:]) >= min_dim
+            ):
                 per = [
                     quantize_kernel_host(
                         np.asarray(jax.device_get(k[i]), np.float32), bits,
@@ -386,11 +409,11 @@ def quantize_tree(
                     continue
                 b = overrides[k]
             out[k] = quantize_tree(v, b, group_size, min_size, overrides,
-                                   with_wscale)
+                                   with_wscale, min_dim)
         return out
     if isinstance(params, list):
         return [quantize_tree(v, bits, group_size, min_size, overrides,
-                              with_wscale) for v in params]
+                              with_wscale, min_dim) for v in params]
     return params
 
 

@@ -209,22 +209,27 @@ def random_w8a8_linear(
 # ---------------------------------------------------------------------------
 
 
-def w8a8_tree(params: Params, min_size: int = 1 << 16) -> Params:
+def w8a8_tree(params: Params, min_size: int = 1 << 16,
+              min_dim: int = 0) -> Params:
     """Convert every eligible linear kernel (or already-quantized dict) in a
     parameter tree to w8a8 execution format. Host numpy end to end (the
     caller device_puts once); stacked (L, in, out) kernels convert per layer
     and restack, preserving the scan/sharding structure.
+
+    ``min_dim`` (see ops/quantized.MIN_DIM) defaults to 0 here: int8 noise on
+    the narrow adapters is ~20 dB milder than int4's, and the shipping w8a8
+    gate (35 dB) does not need the exclusion.
     """
     from .quantized import is_quantized
 
     if isinstance(params, dict):
         if "kernel" in params and params["kernel"] is not None:
             k = np.asarray(jax.device_get(params["kernel"]))
-            if k.ndim == 2 and k.size >= min_size:
+            if k.ndim == 2 and k.size >= min_size and min(k.shape) >= min_dim:
                 out = w8a8_from_kernel_host(k)
                 out["bias"] = params.get("bias")
                 return out
-            if k.ndim == 3 and k[0].size >= min_size:
+            if k.ndim == 3 and k[0].size >= min_size and min(k.shape[1:]) >= min_dim:
                 per = [w8a8_from_kernel_host(k[i]) for i in range(k.shape[0])]
                 stacked: Params = {
                     key: np.stack([q[key] for q in per]) for key in per[0]
@@ -246,7 +251,7 @@ def w8a8_tree(params: Params, min_size: int = 1 << 16) -> Params:
             stacked = {k: np.stack([q[k] for q in per]) for k in ("w8", "wscale")}
             stacked["bias"] = params.get("bias")
             return stacked
-        return {k: w8a8_tree(v, min_size) for k, v in params.items()}
+        return {k: w8a8_tree(v, min_size, min_dim) for k, v in params.items()}
     if isinstance(params, list):
-        return [w8a8_tree(v, min_size) for v in params]
+        return [w8a8_tree(v, min_size, min_dim) for v in params]
     return params

@@ -139,9 +139,9 @@ def test_gptq_tree_schema_and_quality(cfg):
         host, cfg, bits=4, group_size=32, with_wscale=True,
         batch=8, latent_hw=(16, 16),
     )
-    ref = quantize_tree(host, bits=4, group_size=32, min_size=0,
+    ref = quantize_tree(host, bits=4, group_size=32, min_size=0, min_dim=1,
                         with_wscale=True)
-    # Same pytree structure as the ALS tree at min_size=0... except GPTQ
+    # Same pytree structure as the ALS tree at min_size=0, min_dim=1... except GPTQ
     # honours the production MIN_SIZE gate, so tiny test mats may stay float.
     # Check the schema of whatever DID quantize, and that the full tree runs.
     leaves = jax.tree.leaves(qt)
@@ -171,15 +171,16 @@ def test_gptq_tree_quantizes_eligible_mats_with_gptq_hessians():
         lambda a: None if a is None else np.asarray(a), params,
         is_leaf=lambda x: x is None
     )
-    old = gptq.MIN_SIZE
+    old = (gptq.MIN_SIZE, gptq.MIN_DIM)
     gptq.MIN_SIZE = 0
+    gptq.MIN_DIM = 1
     try:
         qt = gptq.gptq_quantize_mmdit(
             host, cfg, bits=4, group_size=32, batch=16, latent_hw=(16, 16)
         )
     finally:
-        gptq.MIN_SIZE = old
-    ref = quantize_tree(host, bits=4, group_size=32, min_size=0)
+        gptq.MIN_SIZE, gptq.MIN_DIM = old
+    ref = quantize_tree(host, bits=4, group_size=32, min_size=0, min_dim=1)
     assert jax.tree.structure(
         jax.tree.map(lambda a: 0, qt, is_leaf=lambda x: x is None)
     ) == jax.tree.structure(

@@ -135,7 +135,7 @@ def test_mixed_quantized_tp_matches_single_device():
     config = dataclasses.replace(TP_SD3, depth_multimodal=2)
     params = quantize_tree(
         init_mmdit_params(jax.random.PRNGKey(0), config),
-        bits=4, group_size=16, min_size=1, overrides=MIXED_OVERRIDES,
+        bits=4, group_size=16, min_size=1, min_dim=1, overrides=MIXED_OVERRIDES,
     )
     inputs = _mmdit_inputs(config)
     want = np.asarray(apply_mmdit(params, config, *inputs))
@@ -376,13 +376,13 @@ def test_tp_sharding_specs_follow_megatron_rules():
     assert leaf_spec(params, ["uni_blocks", "ada", "kernel"]) == P(None, None, "model")
 
     qparams = quantize_tree(
-        jax.tree.map(np.asarray, params), bits=4, group_size=16, min_size=1
+        jax.tree.map(np.asarray, params), bits=4, group_size=16, min_size=1, min_dim=1
     )
     assert leaf_spec(qparams, ["uni_blocks", "q", "q4"]) == P(None, None, "model")
     assert leaf_spec(qparams, ["uni_blocks", "q", "scales"]) == P(None, None, "model")
     assert leaf_spec(qparams, ["uni_blocks", "o", "q4"]) == P(None, "model", None)
 
-    wparams = w8a8_tree(jax.tree.map(np.asarray, params), min_size=1)
+    wparams = w8a8_tree(jax.tree.map(np.asarray, params), min_size=1, min_dim=1)
     assert leaf_spec(wparams, ["uni_blocks", "q", "w8"]) == P(None, None, "model")
     assert leaf_spec(wparams, ["uni_blocks", "q", "wscale"]) == P(None, "model")
     assert leaf_spec(wparams, ["uni_blocks", "fc2", "w8"]) == P(None, "model", None)
@@ -420,7 +420,7 @@ def test_tp_collective_pattern_quantized_w8a8():
     config = TP_FLUX
     params = w8a8_tree(
         jax.tree.map(np.asarray, init_mmdit_params(jax.random.PRNGKey(0), config)),
-        min_size=1,
+        min_size=1, min_dim=1,
     )
     mesh = create_mesh(2, 4)
     sharded = shard_params(params, mmdit_shardings(params, mesh))

@@ -68,7 +68,7 @@ def test_quantize_tree_mmdit_forward():
         max_latent_resolution=16, dtype=jnp.float32,
     )
     params = init_mmdit_params(jax.random.PRNGKey(0), config)
-    qparams = quantize_tree(params, bits=8, group_size=32, min_size=1)
+    qparams = quantize_tree(params, bits=8, group_size=32, min_size=1, min_dim=1)
     # stacked block kernels became stacked quantized dicts
     assert "q8" in qparams["mm_blocks"]["img"]["q"]
     assert qparams["mm_blocks"]["img"]["q"]["q8"].ndim == 3
@@ -97,7 +97,7 @@ def test_quantize_tree_mixed_overrides():
         max_latent_resolution=16, dtype=jnp.float32,
     )
     params = init_mmdit_params(jax.random.PRNGKey(0), config)
-    mixed = quantize_tree(params, bits=4, group_size=32, min_size=1,
+    mixed = quantize_tree(params, bits=4, group_size=32, min_size=1, min_dim=1,
                           overrides=MIXED_OVERRIDES)
     # bulk kernels int4, AdaLN int8, final layer + embedders untouched float
     assert "q4" in mixed["mm_blocks"]["img"]["q"]
@@ -108,7 +108,7 @@ def test_quantize_tree_mixed_overrides():
     assert "kernel" in mixed["x_embedder"]
     assert "kernel" in mixed["context_embedder"]
 
-    uniform = quantize_tree(params, bits=4, group_size=32, min_size=1)
+    uniform = quantize_tree(params, bits=4, group_size=32, min_size=1, min_dim=1)
     rs = np.random.RandomState(0)
     args = (
         jnp.asarray(rs.randn(1, 8, 8, 16), jnp.float32),
@@ -138,7 +138,7 @@ def test_pipeline_mixed_mode_tree():
     )
     params = init_mmdit_params(jax.random.PRNGKey(1), config)
     mixed = add_wscale_tree(
-        quantize_tree(params, bits=4, group_size=32, min_size=1,
+        quantize_tree(params, bits=4, group_size=32, min_size=1, min_dim=1,
                       overrides=MIXED_OVERRIDES)
     )
     assert "wscale" in mixed["mm_blocks"]["img"]["q"]
