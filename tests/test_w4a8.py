@@ -157,7 +157,7 @@ def test_pipeline_w4a8_mode_tiny():
     pipe = build_sd3_pipeline()
     pipe.mmdit_params = jax.tree.map(
         jnp.asarray,
-        add_wscale_tree(quantize_tree(pipe.mmdit_params, bits=4, group_size=16, min_size=1)),
+        add_wscale_tree(quantize_tree(pipe.mmdit_params, bits=4, group_size=16, min_size=1, min_dim=1)),
     )
     paths = {
         ".".join(str(getattr(p, "key", p)) for p in path)
@@ -261,7 +261,7 @@ def test_quantize_tree_with_wscale_stacked():
     rs = np.random.RandomState(22)
     tree = {"q": {"kernel": rs.randn(3, 64, 32).astype(np.float32) * 0.04,
                   "bias": None}}
-    q = quantize_tree(tree, bits=4, group_size=32, min_size=1, with_wscale=True)
+    q = quantize_tree(tree, bits=4, group_size=32, min_size=1, min_dim=1, with_wscale=True)
     assert q["q"]["wscale"].shape == (3, 32)
     before = np.asarray(q["q"]["wscale"]).copy()
     q2 = add_wscale_tree(q)
