@@ -699,6 +699,38 @@ def _quantize_mat(
     return out
 
 
+def _quantize_mats_shared_h(
+    named, Hmat, bits: int, group_size: int, with_wscale: bool,
+) -> Dict[str, Params]:
+    """GPTQ several {"kernel","bias"} mats that share one input-site Hessian
+    as ONE core call on the column-concatenated kernel.
+
+    The GPTQ recursion treats output columns independently given H (grid
+    fit, error feedback and the tail GEMM are all per-column), so the
+    concatenated result is bit-identical to separate calls — but it replaces
+    N sequential group-scans with one wider scan, which matters at 12B scale
+    where the latency-bound core dominates quantize-at-load time.
+    """
+    kernels = [jnp.asarray(p["kernel"]) for _, p in named]
+    widths = [int(k.shape[1]) for k in kernels]
+    cat = kernels[0] if len(kernels) == 1 else jnp.concatenate(kernels, axis=1)
+    in_dim = int(cat.shape[0])
+    fn = _gptq_core(in_dim, int(cat.shape[1]), group_size, 2**bits - 1)
+    Q, S, Z = fn(cat, jnp.asarray(Hmat))
+    Q, S, Z = np.asarray(Q), np.asarray(S), np.asarray(Z)
+    out: Dict[str, Params] = {}
+    c0 = 0
+    for (name, p), w in zip(named, widths):
+        res = _emit(Q[:, c0:c0 + w], S[:, c0:c0 + w], Z[:, c0:c0 + w],
+                    bits, group_size, with_wscale)
+        res["bias"] = (
+            None if p.get("bias") is None else np.asarray(p["bias"])
+        )
+        out[name] = res
+        c0 += w
+    return out
+
+
 def gptq_quantize_mmdit(
     params: Params,
     config: MMDiTConfig,
@@ -803,16 +835,39 @@ def gptq_quantize_mmdit(
                     lambda a: None if a is None else np.asarray(a), v,
                     is_leaf=lambda x: x is None,
                 )
-        o["q"] = q(bp["q"], Hs.get(f"{pre}qkv"), "q")
-        o["k"] = q(bp["k"], Hs.get(f"{pre}qkv"), "k")
-        o["v"] = q(bp["v"], Hs.get(f"{pre}qkv"), "v")
+        H_qkv = Hs.get(f"{pre}qkv")
+        # Mats sharing the qkv input site (q/k/v always; fc1 too in the
+        # parallel-MLP unified blocks) quantize as ONE concatenated core
+        # call — identical math (columns are independent given H), far
+        # fewer sequential group-scans. Only past the best-of-both guard's
+        # reach so small-model (test) results keep the guard semantics.
+        shared = ["q", "k", "v"]
+        fc1_shared = with_mlp and "fc1" in bp and f"{pre}fc1" not in Hs
+        if fc1_shared:
+            shared.append("fc1")
+
+        def _concat_ok(name):
+            p = bp.get(name)
+            return (
+                isinstance(p, dict) and "kernel" in p
+                and mat_bits(name) == bits
+                and _eligible(p["kernel"], group_size)
+                and p["kernel"].shape[0] > GUARD_MAX_IN
+            )
+
+        if H_qkv is not None and all(_concat_ok(n) for n in shared):
+            o.update(_quantize_mats_shared_h(
+                [(n, bp[n]) for n in shared], H_qkv, bits, group_size,
+                with_wscale,
+            ))
+        else:
+            for n in shared:
+                o[n] = q(bp[n], H_qkv, n)
         o["ada"] = q(bp["ada"], H_ada, "ada")
         if with_mlp and "o" in bp:
             o["o"] = q(bp["o"], Hs.get(f"{pre}o"), "o")
-            # Parallel-MLP unified blocks share the qkv site for fc1.
-            o["fc1"] = q(
-                bp["fc1"], Hs.get(f"{pre}fc1", Hs.get(f"{pre}qkv")), "fc1"
-            )
+            if not fc1_shared and "fc1" in bp:
+                o["fc1"] = q(bp["fc1"], Hs.get(f"{pre}fc1", H_qkv), "fc1")
             o["fc2"] = q(bp["fc2"], Hs.get(f"{pre}fc2"), "fc2")
         return o
 

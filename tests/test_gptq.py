@@ -208,3 +208,35 @@ def test_gptq_tree_quantizes_eligible_mats_with_gptq_hessians():
     # GPTQ should not be worse than ALS end to end on the model it was
     # calibrated for (allow a small tolerance: tiny random models are noisy).
     assert err(qt) <= err(ref) * 1.1, (err(qt), err(ref))
+
+
+def test_gptq_concat_shared_h_bit_identical():
+    """The column-concatenated shared-H core call (q/k/v in one scan) must be
+    BIT-identical to per-mat calls: the GPTQ recursion is per-column given H,
+    so concatenation may change speed only, never values."""
+    rs = np.random.RandomState(7)
+    in_dim = 576  # > gptq.GUARD_MAX_IN so the production path is the one used
+    mats = [
+        ("q", {"kernel": rs.randn(in_dim, 64).astype(np.float32) * 0.05,
+               "bias": rs.randn(64).astype(np.float32)}),
+        ("k", {"kernel": rs.randn(in_dim, 128).astype(np.float32) * 0.05,
+               "bias": None}),
+    ]
+    x = rs.randn(1024, in_dim).astype(np.float32) * 0.7
+    H = (x.T @ x) / len(x)
+    old = (gptq.MIN_SIZE, gptq.MIN_DIM)
+    gptq.MIN_SIZE, gptq.MIN_DIM = 0, 1
+    try:
+        joint = gptq._quantize_mats_shared_h(mats, H, 4, 32, True)
+        for name, p in mats:
+            solo = gptq.gptq_quantize_kernel_jax(
+                p["kernel"], H, bits=4, group_size=32, with_wscale=True
+            )
+            for key in ("q4", "scales", "zeros", "wscale"):
+                np.testing.assert_array_equal(joint[name][key], solo[key])
+            if p["bias"] is None:
+                assert joint[name]["bias"] is None
+            else:
+                np.testing.assert_array_equal(joint[name]["bias"], p["bias"])
+    finally:
+        gptq.MIN_SIZE, gptq.MIN_DIM = old
