@@ -719,11 +719,12 @@ def w4a8_qk_eligible(p, head_dim: int, interpret: bool = False) -> bool:
     """True when a q/k projection can run with the fused QK-RMSNorm + RoPE
     epilogue (w4a8_qk_linear): w4a8 params, head_dim exactly one lane tile
     (128 — the epilogue reduces per 128-lane segment and rolls by 64), and a
-    Mosaic-legal block pick. DIFFUSIONKIT_TPU_FUSED_QK toggles (default off
-    until the on-chip A/B at the FLUX shape lands; =1 enables)."""
+    Mosaic-legal block pick. DIFFUSIONKIT_TPU_FUSED_QK=0 disables (default
+    ON since the r5 on-chip A/B at FLUX 1024² w4a8: 401→368 ms/step, and the
+    compiled pltpu.roll branch matched the unfused chain to 0.5% rel)."""
     import os
 
-    if os.environ.get("DIFFUSIONKIT_TPU_FUSED_QK", "0") == "0":
+    if os.environ.get("DIFFUSIONKIT_TPU_FUSED_QK", "1") == "0":
         return False
     if head_dim != 128:
         return False

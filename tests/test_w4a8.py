@@ -362,7 +362,11 @@ def test_w4a8_qk_eligible_gates():
     rs = np.random.RandomState(3)
     w = rs.randn(256, 256).astype(np.float32) * 0.05
     p = add_wscale_tree(quantize_kernel_host(w, bits=4, group_size=64))
-    assert not w4a8_qk_eligible(p, 128, interpret=True)  # default off
+    os.environ["DIFFUSIONKIT_TPU_FUSED_QK"] = "0"
+    try:
+        assert not w4a8_qk_eligible(p, 128, interpret=True)  # env off
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_FUSED_QK"]
     os.environ["DIFFUSIONKIT_TPU_FUSED_QK"] = "1"
     try:
         assert w4a8_qk_eligible(p, 128, interpret=True)
