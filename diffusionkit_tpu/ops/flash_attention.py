@@ -126,7 +126,7 @@ def _score_budget() -> int:
     return scale_budget(_SCORE_BUDGET_V5E)
 
 
-def pick_flash_blocks(s: int, d: int) -> tuple:
+def pick_flash_blocks(s: int, d: int, itemsize: int = 2) -> tuple:
     """Block sizes for a given joint sequence length.
 
     Single-tile kv wins whenever the whole (padded) sequence fits the score
@@ -139,6 +139,13 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     the v5e sweep winner at the FLUX 2048² joint shape (s=16640, d=128:
     36.1 ms/layer, 94 TFLOP/s vs 41.1 at the previous untuned 512/1024;
     q256/kv2048 and q512/kv2048 tie within 3%, tools/sweep_flash_long.py).
+
+    ``itemsize`` is the q/k/v byte width. The swept budgets above are bf16
+    ground truth and stay bit-identical at itemsize<=2; wider inputs
+    (SD3.5's fp32-upcast attention segments, reference mmdit.py:575-589)
+    double the resident kv/q/o tile bytes, so a byte model gates the pick —
+    the bf16-tuned q=256/kv=4352 at f32 hit a 16.95M > 16M scoped-VMEM OOM
+    on chip (round 5), where q=128 fits at ~13.6 MB.
     """
     import os
 
@@ -157,6 +164,20 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
     # tiles resident; past ~6k (v5e) the combination exceeds the ~13 MB that
     # empirically fits (2048² resolutions fall back to streaming tiles).
     single_kv_cap = 6144 * max(1, int(budget // _SCORE_BUDGET_V5E))
+    bw = d if d % 128 == 0 else 128  # lane-tile block width (packed heads)
+    from .chip import scale_budget
+
+    def _fits(q_blk: int, kv_blk: int) -> bool:
+        # Scoped-VMEM byte model: f32 score + exp buffers, double-buffered
+        # q/k/v/o tiles. Enforced only past bf16 widths — the itemsize<=2
+        # picks are on-chip-swept and must not move.
+        if itemsize <= 2:
+            return True
+        est = (2 * q_blk * kv_blk * 4
+               + 4 * kv_blk * bw * itemsize
+               + 4 * q_blk * bw * itemsize)
+        return est <= scale_budget(15 << 20)
+
     if s128 * 128 <= budget and s128 <= single_kv_cap:
         cap = min(s128, budget // s128 // 128 * 128)
         env = os.environ.get("DIFFUSIONKIT_TPU_FLASH_QBLK")  # sweep knob
@@ -166,9 +187,18 @@ def pick_flash_blocks(s: int, d: int) -> tuple:
             q_blk = max(128, min(int(env), cap) // 128 * 128)
             return q_blk, s128
         for q_blk in range(cap, 127, -128):
-            if s128 % q_blk == 0:
+            if s128 % q_blk == 0 and _fits(q_blk, s128):
                 return q_blk, s128
-        return cap, s128
+        for q_blk in range(cap, 127, -128):  # no fitting divisor: any fit
+            if _fits(q_blk, s128):
+                return q_blk, s128
+        if _fits(cap, s128):
+            return cap, s128
+        # fall through to streaming tiles
+    if itemsize > 2 and bw > 128:
+        # f32 with a >1-lane-tile head: 1024/1024 streaming (~20 MB est)
+        # would itself OOM scoped VMEM; halve the q tile.
+        return 512, 1024
     return 1024, 1024
 
 
@@ -347,7 +377,7 @@ def flash_attention_bshd(
         h += h_pad
     bw = d * pack
     if not q_blk or not kv_blk:
-        auto_q, auto_kv = pick_flash_blocks(s, d)
+        auto_q, auto_kv = pick_flash_blocks(s, d, q.dtype.itemsize)
         q_blk = q_blk or auto_q
         kv_blk = kv_blk or auto_kv
     orig_s = s
@@ -423,7 +453,7 @@ def flash_attention_stats(
     b, h, sq_orig, d = q.shape
     skv_orig = k.shape[-2]
     if not q_blk or not kv_blk:
-        auto_q, auto_kv = pick_flash_blocks(max(sq_orig, skv_orig), d)
+        auto_q, auto_kv = pick_flash_blocks(max(sq_orig, skv_orig), d, q.dtype.itemsize)
         q_blk = q_blk or auto_q
         kv_blk = kv_blk or auto_kv
     q = _pad_seq(q.reshape(b * h, sq_orig, d), q_blk)
@@ -497,7 +527,7 @@ def flash_attention(
     """
     b, h, s, d = q.shape
     if not q_blk or not kv_blk:
-        auto_q, auto_kv = pick_flash_blocks(s, d)
+        auto_q, auto_kv = pick_flash_blocks(s, d, q.dtype.itemsize)
         q_blk = q_blk or auto_q
         kv_blk = kv_blk or auto_kv
     orig_s = s

@@ -258,6 +258,22 @@ def test_pick_flash_blocks():
     assert kv == 384 and q == 384 and q % 128 == 0
 
 
+def test_pick_flash_blocks_f32():
+    from diffusionkit_tpu.ops.flash_attention import pick_flash_blocks
+
+    # SD3.5-large's fp32-upcast attention segments at 1024² (s=4352, d=64):
+    # the bf16-swept (256, 4352) pick OOM'd scoped VMEM at f32 on chip
+    # (16.95M > 16M, round 5) — the byte model must shrink the q tile while
+    # keeping the single whole-sequence kv tile.
+    assert pick_flash_blocks(4352, 64, itemsize=4) == (128, 4352)
+    assert pick_flash_blocks(4352, 64, itemsize=2) == (256, 4352)  # unchanged
+    assert pick_flash_blocks(4352, 128, itemsize=4) == (128, 4352)
+    # f32 streaming with a >1-lane-tile head halves the q tile (1024/1024
+    # would estimate ~20 MB of scoped VMEM).
+    assert pick_flash_blocks(33000, 256, itemsize=4) == (512, 1024)
+    assert pick_flash_blocks(33000, 128, itemsize=4) == (1024, 1024)
+
+
 def test_flash_attention_bshd_matches_bhsd():
     from diffusionkit_tpu.ops.flash_attention import (
         flash_attention,
