@@ -48,6 +48,8 @@ most of the mixed-mode quality without leaving the uniform-int4 contract.
 from __future__ import annotations
 
 import functools
+import gc
+import logging
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -61,6 +63,27 @@ from .norms import modulated_layer_norm
 from .quantized import pack_int4_host, quantize_kernel_host
 
 Params = Dict[str, Any]
+
+logger = logging.getLogger(__name__)
+
+
+def _layer_mem_trace(tag: str) -> None:
+    """Per-layer HBM high-water trace (DIFFUSIONKIT_TPU_GPTQ_DEBUG=1).
+
+    The streaming quantizer's contract is layer-transient device buffers;
+    this makes a violation observable on-chip (each call is a device-stats
+    RPC on relay-attached setups, so it stays opt-in)."""
+    if os.environ.get("DIFFUSIONKIT_TPU_GPTQ_DEBUG", "0") != "1":
+        return
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        logger.info(
+            "gptq[%s] bytes_in_use=%.2fGB peak=%.2fGB", tag,
+            stats.get("bytes_in_use", 0) / 2**30,
+            stats.get("peak_bytes_in_use", 0) / 2**30,
+        )
+    except Exception:
+        pass
 
 # Minimum kernel size / divisibility rules MUST match ops/quantized.quantize_tree
 # so the GPTQ tree is a drop-in for the ALS tree.
@@ -272,14 +295,20 @@ def _gptq_core(in_dim: int, out_dim: int, gs: int, qmax: int,
         dead = diag <= 0
         H = H + jnp.diag(jnp.where(dead, 1.0 - diag, 0.0))
         w = jnp.where(dead[:, None], 0.0, w)
-        H = H + (damp * jnp.maximum(jnp.mean(diag), 1e-12)) * jnp.eye(
-            in_dim, dtype=jnp.float32
-        )
-        Hinv = jnp.linalg.inv(H)
-        Hinv = (Hinv + Hinv.T) * 0.5
-        U = jnp.linalg.cholesky(Hinv).T  # upper: H⁻¹ = UᵀU
+        eye = jnp.eye(in_dim, dtype=jnp.float32)
+        H = H + (damp * jnp.maximum(jnp.mean(diag), 1e-12)) * eye
+        # U upper with H⁻¹ = UᵀU, built WITHOUT inv(): flip(H) = PHP (P the
+        # anti-identity) has Cholesky L̃L̃ᵀ; Ũ = PL̃P is upper with H = ŨŨᵀ,
+        # so U = Ũ⁻¹ (upper, one triangular solve) gives H⁻¹ = Ũ⁻ᵀŨ⁻¹ = UᵀU
+        # — same U as numpy's cholesky(inv(H)).T by Cholesky uniqueness.
+        # jnp.linalg.inv's LU path lowers to the LuDecompositionBlock custom
+        # call whose f32[in,128] panel tuple exceeds v5e's 16 MB scoped VMEM
+        # at in_dim ≥ ~12288 (FLUX fc2 — the e2e-observed compile failure);
+        # cholesky/triangular_solve expand to blocked HLO loops instead.
+        Ut = jnp.linalg.cholesky(H[::-1, ::-1])[::-1, ::-1]
+        U = jax.scipy.linalg.solve_triangular(Ut, eye, lower=False)
         ok = jnp.all(jnp.isfinite(U))
-        U = jnp.where(ok, U, jnp.eye(in_dim, dtype=jnp.float32))
+        U = jnp.where(ok, U, eye)
 
         def gbody(w, gi):
             g0 = gi * gs
@@ -896,6 +925,8 @@ def gptq_quantize_mmdit(
                              if k.startswith("txt_")}, "txt_", True),
         })
         del bp, Hs
+        gc.collect()  # layer-transient contract: drop relay-deferred buffers
+        _layer_mem_trace(f"mm{i}")
     out["mm_blocks"] = stack_layers(mm_layers)
 
     if config.depth_unified == 0:
@@ -926,6 +957,8 @@ def gptq_quantize_mmdit(
             u, Hs = uni_step(bp, u, c)
             uni_layers.append(q_branch(bp, Hs, "", True))
             del bp, Hs
+            gc.collect()
+            _layer_mem_trace(f"uni{i}")
         out["uni_blocks"] = stack_layers(uni_layers)
         x = u[:, txt.shape[1] :]
 

@@ -508,6 +508,21 @@ class DiffusionPipeline:
                                 "falling back to the ALS grid", e,
                             )
                     if not done:
+                        # The failed attempt's exception traceback pins the
+                        # quantizer frames (and their device buffers —
+                        # Hessians, the streamed layer, carried activations)
+                        # in a reference cycle; without this collect the
+                        # fallback's own device_put inherits a near-full
+                        # chip and dies RESOURCE_EXHAUSTED (observed on the
+                        # SD3.5-large 8B e2e).
+                        gc.collect()
+                        if cache is not None and "_gptq1" in cache.name:
+                            # Never save an ALS-fallback tree under the
+                            # gptq1 tag — a later run would load it
+                            # believing it is Hessian-compensated.
+                            cache = cache.with_name(
+                                cache.name.replace("_gptq1", "_gptq0")
+                            )
                         params = quantize_tree(
                             params,
                             bits=bits,
