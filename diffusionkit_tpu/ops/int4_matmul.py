@@ -165,6 +165,7 @@ def int4_linear(
     k = x.shape[-1]
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
+    auto_bn = not bn
     # Sweep on v5e (4352x3072x12288): bk/bn 1024 beats 512 by ~20%.
     bk = bk or pick_k_block(k, group)
     bn = bn or _largest_divisor_block(n, 128, 1024)
@@ -172,6 +173,20 @@ def int4_linear(
     # are ~8 bytes per (bk, bn) element; keep them under ~6 MB.
     while bk * bn * 8 > 6 << 20 and bn > 128 and n % (bn // 2) == 0:
         bn //= 2
+    npad = n
+    q4, scales, zeros = p["q4"], p["scales"], p["zeros"]
+    if auto_bn:
+        # Tiled-k + small-bn shapes re-fetch x per n sweep (see
+        # w4a8_matmul._maybe_pad_n) — worse here: x is the 2-byte model
+        # dtype. Zero-padded columns (scales = zeros = 0) dequant to 0.
+        from .w4a8_matmul import _maybe_pad_n
+
+        npad, bn = _maybe_pad_n(n, k, bk, bn)
+        if npad != n:
+            pad = npad - n
+            q4 = jnp.pad(q4, ((0, 0), (0, pad)))
+            scales = jnp.pad(scales, ((0, 0), (0, pad)))
+            zeros = jnp.pad(zeros, ((0, 0), (0, pad)))
     if not bm:
         from .w4a8_matmul import pick_m_block
 
@@ -180,9 +195,11 @@ def int4_linear(
             m *= dim
         bm = pick_m_block(m, bk, bn)
     y = int4_matmul(
-        x.reshape(-1, k), p["q4"], p["scales"], p["zeros"],
+        x.reshape(-1, k), q4, scales, zeros,
         bm=bm, bk=bk, bn=bn, interpret=interpret,
     )
+    if npad != n:
+        y = y[:, :n]
     y = y.reshape(*lead, y.shape[-1])
     if p.get("bias") is not None:
         y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(x.dtype)

@@ -660,6 +660,61 @@ def _pick_kn_blocks(k: int, n: int, group: int):
     return bk, bn
 
 
+def _maybe_pad_n(n: int, k: int, bk: int, bn: int):
+    """(npad, bn) for a w4a8 call whose k loop is tiled (kt = k/bk > 1).
+
+    The x BlockSpec index (i, kk) changes on every grid step along k, so each
+    of the n//bn j-sweeps re-fetches ALL of x's k tiles from HBM — x traffic
+    scales with n/bn. Non-power-of-two n caps the divisor pick at bn=128
+    (SD3.5's 2432 = 128*19): at 1024² CFG the FFN fc2 consumer re-reads its
+    (8.5k, 9728) int8 hidden 19x per block, ~60 GB/step over 38 blocks.
+    Zero-padding the weight columns to the next 512 multiple buys bn >= 512
+    for ~5% extra columns (pad cols dequant to exactly 0: s8 = z8 = 0, bias
+    0 — real columns are bit-identical) and the caller slices them off.
+
+    No-op when k is a single tile (the x tile stays VMEM-resident across the
+    j sweep — Mosaic re-fetches only when the block index changes; qkv/o/fc1
+    run full-K at SD3.5's k=2432), when bn is already >= 512, or when the
+    pad would waste > 12.5% extra columns. DIFFUSIONKIT_TPU_PAD_N=0 disables
+    for A/B.
+    """
+    import os
+
+    from .chip import scale_budget
+    from .int4_matmul import _largest_divisor_block
+
+    if os.environ.get("DIFFUSIONKIT_TPU_PAD_N", "1") == "0":
+        return n, bn
+    if k == bk or bn >= 512:
+        return n, bn
+    npad = -(-n // 512) * 512
+    if npad == n or (npad - n) * 8 > n:
+        return n, bn
+    bn2 = _largest_divisor_block(npad, 128, 1024)
+    while (
+        bk * bn2 * 9 > scale_budget(6 << 20)
+        and bn2 > 128
+        and npad % (bn2 // 2) == 0
+    ):
+        bn2 //= 2
+    if bn2 <= bn:
+        return n, bn
+    return npad, bn2
+
+
+def _pad_cols(npad: int, q4, s8, z8, ws, bias):
+    """Zero-pad the w4a8 operand set to npad output columns (_maybe_pad_n):
+    padded columns dequant to exactly 0 (s8 = z8 = 0) and carry bias 0."""
+    pad = npad - q4.shape[-1]
+    return (
+        jnp.pad(q4, ((0, 0), (0, pad))),
+        jnp.pad(s8, ((0, 0), (0, pad))),
+        jnp.pad(z8, ((0, 0), (0, pad))),
+        jnp.pad(ws, (0, pad), constant_values=1.0),
+        jnp.pad(bias, (0, pad)),
+    )
+
+
 def w4a8_linear(
     p, x: jnp.ndarray, bm: int = 0, act: str = None, interpret: bool = False
 ) -> jnp.ndarray:
@@ -680,6 +735,7 @@ def w4a8_linear(
     n = p["q4"].shape[-1]
     group = k // p["scales"].shape[-2]
     bk, bn = _pick_kn_blocks(k, n, group)
+    npad, bn = _maybe_pad_n(n, k, bk, bn)
     m = 1
     for dim in lead:
         m *= dim
@@ -689,6 +745,9 @@ def w4a8_linear(
     s8 = p["scales"].astype(jnp.float32) * rws
     z8 = p["zeros"].astype(jnp.float32) * rws
     bias = p["bias"] if p.get("bias") is not None else jnp.zeros((n,), jnp.float32)
+    q4 = p["q4"]
+    if npad != n:
+        q4, s8, z8, ws, bias = _pad_cols(npad, q4, s8, z8, ws, bias)
     if preq is not None:
         x8 = preq.x8.reshape(-1, k)
         xscale = preq.xscale.reshape(-1, 1)
@@ -704,9 +763,11 @@ def w4a8_linear(
         else:
             x8, xscale = quantize_activations(x.reshape(-1, k))
     y = w4a8_matmul(
-        x8, p["q4"], s8, z8, ws, xscale, bias,
+        x8, q4, s8, z8, ws, xscale, bias,
         bm=bm, bk=bk, bn=bn, out_dtype=out_dtype, interpret=interpret,
     )
+    if npad != n:
+        y = y[..., :n]
     if act == "gelu":
         # XLA-side, in the model dtype (an explicit f32 upcast here measured
         # +20 ms/step at FLUX scale — it widens the fused elementwise pass).
@@ -944,10 +1005,17 @@ def w4a8_ffn_gelu(fc1, fc2, x, interpret: bool = False) -> jnp.ndarray:
     # h8 keeps fc1's row padding (valid scales in the pad rows); pass the
     # padded m through and slice once at the end.
     _, bn2, bm2 = best
+    # fc2's k loop is always tiled (kt2 = n1/bk2 — 38 at SD3.5 shapes), so a
+    # small bn2 multiplies h8 re-reads; pad n2 when that buys a bigger tile.
+    npad2, bn2p = _maybe_pad_n(n2, n1, bk2, bn2)
     s82, z82, ws2, b2 = _scaled_affine(fc2)
+    q42 = fc2["q4"]
+    if npad2 != n2:
+        q42, s82, z82, ws2, b2 = _pad_cols(npad2, q42, s82, z82, ws2, b2)
+        bn2, bm2 = bn2p, pick_m_block(mp2, bk2, bn2p)
     y = w4a8_matmul(
-        h8, fc2["q4"], s82, z82, ws2, hs, b2,
+        h8, q42, s82, z82, ws2, hs, b2,
         bm=bm2, bk=bk2, bn=bn2, out_dtype=out_dtype, interpret=interpret,
         mode="grouped_xs",
     )
-    return y[:m].reshape(*lead, n2)
+    return y[:m, :n2].reshape(*lead, n2)

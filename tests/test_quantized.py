@@ -279,3 +279,34 @@ def test_refined_int4_native_matches_numpy_quality():
         np.asarray(got["scales"], np.float32),
         np.asarray(want["scales"], np.float32), rtol=0.02, atol=1e-6,
     )
+
+
+def test_int4_linear_pad_n_bit_identical():
+    """int4_linear at a pad-triggering shape (k tiled at bk<k, n = 128*15):
+    identical values with DIFFUSIONKIT_TPU_PAD_N on vs off (padded columns
+    dequant to exactly 0 and are sliced off)."""
+    import os
+
+    import jax
+    import numpy as np
+    from jax import numpy as jnp
+
+    from diffusionkit_tpu.ops.int4_matmul import int4_linear
+    from diffusionkit_tpu.ops.quantized import quantize_kernel_host
+
+    rs = np.random.RandomState(13)
+    K, N, M = 2048, 1920, 16
+    p = quantize_kernel_host(rs.randn(K, N).astype(np.float32) * 0.05,
+                             bits=4, group_size=64)
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+
+    got_pad = np.asarray(int4_linear(p, x, interpret=True))
+    os.environ["DIFFUSIONKIT_TPU_PAD_N"] = "0"
+    try:
+        got_nopad = np.asarray(int4_linear(p, x, interpret=True))
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_PAD_N"]
+    assert got_pad.shape == (M, N)
+    np.testing.assert_array_equal(got_pad, got_nopad)

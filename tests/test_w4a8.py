@@ -375,3 +375,88 @@ def test_w4a8_qk_eligible_gates():
         assert not w4a8_qk_eligible(p_nows, 128, interpret=True)
     finally:
         del os.environ["DIFFUSIONKIT_TPU_FUSED_QK"]
+
+
+def test_maybe_pad_n_picks():
+    """_maybe_pad_n pads exactly the tiled-k + small-bn cases (SD3.5's
+    19-factor dims) and leaves full-K / wide-bn / high-waste shapes alone."""
+    from diffusionkit_tpu.ops.w4a8_matmul import _maybe_pad_n
+
+    # SD3.5 fc2 consumer: k=9728 tiles at bk=512, n=2432 caps at bn=128.
+    assert _maybe_pad_n(2432, 9728, 512, 128) == (2560, 512)
+    # Full-K call (qkv/o/fc1 at k=2432): x stays resident, no pad.
+    assert _maybe_pad_n(7296, 2432, 2432, 128) == (7296, 128)
+    # bn already wide: no pad.
+    assert _maybe_pad_n(3072, 12288, 512, 512) == (3072, 512)
+    # Padding 640 -> 1024 would waste 60%: refused.
+    assert _maybe_pad_n(640, 2048, 1024, 128) == (640, 128)
+    # Env kill switch.
+    import os
+
+    os.environ["DIFFUSIONKIT_TPU_PAD_N"] = "0"
+    try:
+        assert _maybe_pad_n(2432, 9728, 512, 128) == (2432, 128)
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_PAD_N"]
+
+
+def test_w4a8_linear_pad_n_bit_identical():
+    """w4a8_linear at a pad-triggering shape (k tiled, n = 128*15) returns
+    bit-identical values with padding on vs off: padded columns dequant to
+    exactly 0 and are sliced off; real columns see the same int math."""
+    import os
+
+    rs = np.random.RandomState(11)
+    K, N, M = 2048, 1920, 16
+    w = rs.randn(K, N).astype(np.float32) * 0.05
+    p = quantize_kernel_host(w, bits=4, group_size=64)
+    p = {k: jnp.asarray(v) for k, v in p.items()}
+    p["wscale"] = jnp.asarray(wscale_from_q4_host(jax.tree.map(np.asarray, p)))
+    p["bias"] = jnp.asarray(rs.randn(N).astype(np.float32) * 0.1)
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+
+    from diffusionkit_tpu.ops.w4a8_matmul import _maybe_pad_n, _pick_kn_blocks
+
+    bk, bn = _pick_kn_blocks(K, N, 64)
+    assert K // bk > 1 and _maybe_pad_n(N, K, bk, bn)[0] == 2048  # triggers
+
+    got_pad = np.asarray(w4a8_linear(p, x, interpret=True))
+    os.environ["DIFFUSIONKIT_TPU_PAD_N"] = "0"
+    try:
+        got_nopad = np.asarray(w4a8_linear(p, x, interpret=True))
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_PAD_N"]
+    assert got_pad.shape == (M, N)
+    np.testing.assert_array_equal(got_pad, got_nopad)
+
+
+def test_w4a8_ffn_gelu_pad_n_bit_identical():
+    """The fused FFN's fc2 consumer with n2 padding on vs off: identical
+    output (the int32 partial dots and f32 rescale per column are unchanged
+    by the tile width)."""
+    import os
+
+    from diffusionkit_tpu.ops.w4a8_matmul import w4a8_ffn_gelu
+
+    rs = np.random.RandomState(12)
+    K, H, N2, M = 256, 2048, 1920, 48
+    fc1 = quantize_kernel_host(rs.randn(K, H).astype(np.float32) * 0.05,
+                               bits=4, group_size=64)
+    fc2 = quantize_kernel_host(rs.randn(H, N2).astype(np.float32) * 0.05,
+                               bits=4, group_size=64)
+    fc1 = {**{k: jnp.asarray(v) for k, v in fc1.items()},
+           "wscale": jnp.asarray(wscale_from_q4_host(fc1)),
+           "bias": jnp.asarray(rs.randn(H).astype(np.float32) * 0.1)}
+    fc2 = {**{k: jnp.asarray(v) for k, v in fc2.items()},
+           "wscale": jnp.asarray(wscale_from_q4_host(fc2)),
+           "bias": jnp.asarray(rs.randn(N2).astype(np.float32) * 0.1)}
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32) * 0.5)
+
+    got_pad = np.asarray(w4a8_ffn_gelu(fc1, fc2, x, interpret=True))
+    os.environ["DIFFUSIONKIT_TPU_PAD_N"] = "0"
+    try:
+        got_nopad = np.asarray(w4a8_ffn_gelu(fc1, fc2, x, interpret=True))
+    finally:
+        del os.environ["DIFFUSIONKIT_TPU_PAD_N"]
+    assert got_pad.shape == (M, N2)
+    np.testing.assert_array_equal(got_pad, got_nopad)
