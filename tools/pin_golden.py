@@ -76,6 +76,17 @@ def main():
         if not src.exists():
             print(f"skip {name}: no {src}")
             continue
+        # The battery overwrites <name>.log per attempt; a failed rerun
+        # leaves a stale png from the previous success next to a log with
+        # no save line. Pinning that png poisons the golden dataset against
+        # the current code (observed: battery5's failed sd3.5-large run
+        # pinned a pre-GPTQ image; the verify then "failed" at 16.7 dB).
+        log = E2E / f"{name}.log"
+        if log.exists() and "Saved the image" not in log.read_text(
+            errors="replace"
+        ):
+            print(f"skip {name}: last run failed ({log} has no save line)")
+            continue
         img_name = f"{name}_seed{cfg['seed']}.png"
         shutil.copy2(src, DATASET / img_name)
         row = {"prompt": PROMPT, "image": img_name, **cfg}
