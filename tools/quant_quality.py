@@ -195,13 +195,14 @@ def main():
             psnr = float(image_psnr(base, img))
             results[name] = {"psnr_vs_bf16_db": round(psnr, 2), "wall_s": round(dt, 1)}
         print(json.dumps({name: results[name]}), flush=True)
-
-    with open(args.out, "w") as f:
-        json.dump(
-            {"model": MODEL, "steps": args.steps, "size": args.size,
-             "prompt": PROMPT, "modes": results},
-            f, indent=2,
-        )
+        # Write incrementally: a deadline-guard timeout mid-table still
+        # leaves a valid artifact with every completed mode.
+        with open(args.out, "w") as f:
+            json.dump(
+                {"model": MODEL, "steps": args.steps, "size": args.size,
+                 "prompt": PROMPT, "modes": results},
+                f, indent=2,
+            )
     print("wrote", args.out, flush=True)
 
 
