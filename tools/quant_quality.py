@@ -137,6 +137,13 @@ def main():
                     help="comma-separated subset of modes to measure "
                     "(e.g. 'int4-mixed,w4a8-mixed'); the bf16 base always "
                     "runs first")
+    ap.add_argument("--deadline-epoch", type=int, default=0,
+                    help="unix time past which NO new mode starts (the table "
+                    "is written incrementally, so stopping between modes "
+                    "leaves a valid artifact). In-process deadline beats an "
+                    "outer `timeout` kill: a killed TPU process orphans the "
+                    "chip claim ~10 min (.claude/skills/verify), which is "
+                    "exactly what deadlocked the round-4 driver bench.")
     ap.add_argument("--t5", action="store_true",
                     help="measure quantize_t5 (w8a8 T5) on FLUX-schnell "
                     "instead of the MMDiT mode table (use --steps 4 for "
@@ -186,6 +193,10 @@ def main():
     results = {}
     base = None
     for mode in modes:
+        if args.deadline_epoch and time.time() > args.deadline_epoch:
+            print(f"[deadline] skipping remaining modes from {mode or 'bf16'}",
+                  flush=True)
+            break
         img, dt = run(mode, args.steps, latent_hw)
         name = mode or "bf16"
         if base is None:
